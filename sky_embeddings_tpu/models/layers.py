@@ -1,0 +1,226 @@
+"""Core transformer layers (pre-norm ViT family), TPU-first.
+
+Design notes
+------------
+* Patch embedding is a reshape + one Dense (mathematically identical to the
+  usual stride-p conv, reference ``mim_vit.py:206`` via timm ``PatchEmbed``)
+  — on TPU this maps straight onto one large MXU matmul over
+  (B·L, p²·C) × (p²·C, D) instead of a convolution, and XLA fuses the
+  patch-extraction reshapes into the operand layout.
+* All shapes are static; sequence length for the shipped geometry is
+  64 patches + ≤2 prefix tokens, so attention is a small fraction of the
+  FLOPs — the MLP matmuls dominate and tile cleanly onto the 128×128 MXU
+  once the batch is large.
+* ``dtype`` selects the activation/computation dtype (bfloat16 for speed);
+  parameters always live in float32. Softmax and LayerNorm statistics are
+  computed in float32 for stability.
+* Numerics match the reference stack: LayerNorm eps 1e-6, exact (erf) GELU,
+  qkv bias, xavier-uniform linear init, zero biases
+  (reference ``mim_vit.py:315-324``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+xavier_uniform = nn.initializers.xavier_uniform()
+token_init = nn.initializers.normal(stddev=0.02)
+
+
+def patchify(imgs: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(B, C, H, W) -> (B, L, p²·C), row-major patches, (ph, pw, c) flatten.
+
+    Flatten order inside each patch matches the reference's loss-side
+    patchify (``mim_vit.py:326-338``: einsum 'nchpwq->nhwpqc') so per-patch
+    statistics (norm_pix_loss) agree elementwise.
+    """
+    B, C, H, W = imgs.shape
+    p = patch_size
+    h, w = H // p, W // p
+    x = imgs.reshape(B, C, h, p, w, p)
+    x = x.transpose(0, 2, 4, 3, 5, 1)  # B, h, w, p, p, C
+    return x.reshape(B, h * w, p * p * C)
+
+
+def unpatchify(x: jnp.ndarray, patch_size: int, channels: int) -> jnp.ndarray:
+    """(B, L, p²·C) -> (B, C, H, W); inverse of :func:`patchify`."""
+    B, L, _ = x.shape
+    p = patch_size
+    h = w = int(round(L ** 0.5))
+    if h * w != L:
+        raise ValueError(f"token count {L} is not a square grid")
+    x = x.reshape(B, h, w, p, p, channels)
+    x = x.transpose(0, 5, 1, 3, 2, 4)  # B, C, h, p, w, p
+    return x.reshape(B, channels, h * p, w * p)
+
+
+class PatchEmbed(nn.Module):
+    """Patchify + linear projection to the token embedding space."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs: jnp.ndarray) -> jnp.ndarray:
+        x = patchify(imgs, self.patch_size)
+        return nn.Dense(
+            self.embed_dim,
+            kernel_init=xavier_uniform,
+            dtype=self.dtype,
+            name="proj",
+        )(x.astype(self.dtype))
+
+
+class Mlp(nn.Module):
+    """Dense -> exact GELU -> Dense."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with a fused qkv projection.
+
+    One (D -> 3D) matmul for qkv keeps the MXU busy with a single large
+    contraction; softmax runs in float32 regardless of ``dtype``.
+    """
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, D = x.shape
+        if D % self.num_heads:
+            raise ValueError(f"dim {D} not divisible by heads {self.num_heads}")
+        head_dim = D // self.num_heads
+        qkv = nn.Dense(3 * D, kernel_init=xavier_uniform, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(self.dtype), v)
+        out = out.reshape(B, N, D)
+        return nn.Dense(D, kernel_init=xavier_uniform, dtype=self.dtype, name="proj")(out)
+
+
+class CrossAttention(nn.Module):
+    """Query tokens attend over a separate key/value sequence (fused kv)."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_tokens: jnp.ndarray, kv_tokens: jnp.ndarray) -> jnp.ndarray:
+        B, M, D = q_tokens.shape
+        N = kv_tokens.shape[1]
+        head_dim = D // self.num_heads
+        q = nn.Dense(D, kernel_init=xavier_uniform, dtype=self.dtype, name="q")(q_tokens)
+        kv = nn.Dense(2 * D, kernel_init=xavier_uniform, dtype=self.dtype, name="kv")(kv_tokens)
+        q = q.reshape(B, M, self.num_heads, head_dim)
+        kv = kv.reshape(B, N, 2, self.num_heads, head_dim)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bmhd,bnhd->bhmn", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
+        out = jnp.einsum("bhmn,bnhd->bmhd", probs.astype(self.dtype), v)
+        out = out.reshape(B, M, D)
+        return nn.Dense(D, kernel_init=xavier_uniform, dtype=self.dtype, name="proj")(out)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with float32 statistics, eps 1e-6 (matching the reference)."""
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="ln")(x)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        D = x.shape[-1]
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(int(D * self.mlp_ratio), D, dtype=self.dtype, name="mlp")(y)
+        return x
+
+
+class Encoder(nn.Module):
+    """A stack of ``depth`` transformer blocks.
+
+    Uses a Python loop (distinct parameters per block, matching the
+    reference's ModuleList) — XLA compiles each block once and reuses the
+    fused program; depth ≤ 32 keeps compile time modest. ``remat`` wraps each
+    block in ``jax.checkpoint`` to trade FLOPs for HBM during training of the
+    larger variants.
+    """
+
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.depth):
+            x = block_cls(
+                self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"block{i}"
+            )(x)
+        return x
+
+
+class AttentionPoolLatent(nn.Module):
+    """Latent-query attention pooling (capability parity with timm's
+    ``AttentionPoolLatent`` used at reference ``mim_vit.py:247-250`` and
+    ``vit.py:303-308``).
+
+    A single learned latent token cross-attends over the sequence, followed by
+    a residual MLP; returns the pooled (B, D) feature.
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, D = x.shape
+        latent = self.param(
+            "latent", nn.initializers.normal(stddev=D ** -0.5), (1, 1, D), jnp.float32
+        )
+        q = jnp.broadcast_to(latent.astype(self.dtype), (B, 1, D))
+        y = CrossAttention(self.num_heads, dtype=self.dtype, name="xattn")(q, x)
+        z = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
+        y = y + Mlp(int(D * self.mlp_ratio), D, dtype=self.dtype, name="mlp")(z)
+        return y[:, 0]
