@@ -1,0 +1,111 @@
+"""Training-time linear probes over frozen embeddings.
+
+The pretraining loop periodically fits a quick classifier (star/QSO/galaxy)
+and regressor (spec-z) on fixed probe sets to track embedding quality
+(reference ``utils/pretrain_fns.py:52-159``). Protocol parity: 80/20 split,
+LogisticRegression(C=0.01) accuracy, ElasticNet(alpha=1e-4, l1_ratio=0.9) R²,
+feature pooling modes token/flatten/pool/centralpool/central/mean with
+StandardScaler.
+
+Embedding extraction runs on device; the (seconds-scale) sklearn fits run on
+host. A jax-native ridge/logistic path can replace sklearn when running
+headless without it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from sky_embeddings_tpu.eval.eval_fns import extract_latents
+from sky_embeddings_tpu.utils.misc import select_centre
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+def pool_features(latents: np.ndarray, combine: str = "central") -> np.ndarray:
+    """(B, L, D) token features -> (B, F) probe features
+    (reference ``get_embeddings`` pooling, ``pretrain_fns.py:136-153``)."""
+    if combine == "token":
+        return latents[:, :1].reshape(latents.shape[0], -1)
+    if combine == "flatten":
+        return latents.reshape(latents.shape[0], -1)
+    if combine == "pool":
+        return latents.max(axis=1)
+    if combine == "centralpool":
+        return select_centre(latents, 16).max(axis=1)
+    if combine == "central":
+        return select_centre(latents, 4).reshape(latents.shape[0], -1)
+    if combine == "mean":
+        return latents.mean(axis=1)
+    raise ValueError(f"unknown combine mode {combine!r}")
+
+
+def probe_features(
+    model,
+    variables: dict,
+    data_path: str,
+    y_label: str,
+    combine: str = "central",
+    batch_size: int = 64,
+    img_size: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Embed a probe h5 file and pool features; returns (X, y)."""
+    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+
+    if h5py is None:
+        raise ImportError("h5py required")
+    batcher = build_h5_batcher(
+        data_path, batch_size=batch_size, img_size=img_size,
+        shuffle=False, drop_remainder=False,
+    )
+    remove_prefix = combine != "token"
+    latents = extract_latents(model, variables, batcher, remove_prefix=remove_prefix)
+    with h5py.File(data_path, "r") as f:
+        y = np.asarray(f[y_label][: latents.shape[0]])
+
+    attn_pooled = getattr(model, "attn_pool", False) and getattr(model, "simmim", False)
+    if attn_pooled:
+        combine = "flatten"  # single pooled token (ref pretrain_fns.py:131-133)
+    x = pool_features(latents, combine)
+
+    from sklearn.preprocessing import StandardScaler
+
+    x = StandardScaler().fit_transform(x)
+    return x, y
+
+
+def linear_probe(
+    model,
+    variables: dict,
+    class_data_path: Optional[str] = None,
+    regress_data_path: Optional[str] = None,
+    combine: str = "central",
+    img_size: int = 64,
+) -> dict[str, float]:
+    """Fit the probes; returns a metrics dict
+    {train_lp_acc, val_lp_acc, train_lp_r2, val_lp_r2} (subset by task)."""
+    from sklearn.linear_model import ElasticNet, LogisticRegression
+    from sklearn.metrics import accuracy_score, r2_score
+    from sklearn.model_selection import train_test_split
+
+    metrics: dict[str, float] = {}
+    if class_data_path:
+        x, y = probe_features(model, variables, class_data_path, "class", combine, img_size=img_size)
+        xtr, xte, ytr, yte = train_test_split(x, y, test_size=0.2, random_state=42)
+        clf = LogisticRegression(max_iter=10000, C=0.01, random_state=42)
+        clf.fit(xtr, ytr)
+        metrics["train_lp_acc"] = float(accuracy_score(ytr, clf.predict(xtr)))
+        metrics["val_lp_acc"] = float(accuracy_score(yte, clf.predict(xte)))
+    if regress_data_path:
+        x, y = probe_features(model, variables, regress_data_path, "zspec", combine, img_size=img_size)
+        xtr, xte, ytr, yte = train_test_split(x, y, test_size=0.2, random_state=42)
+        reg = ElasticNet(alpha=1e-4, l1_ratio=0.9, max_iter=10000, random_state=42)
+        reg.fit(xtr, ytr)
+        metrics["train_lp_r2"] = float(r2_score(ytr, reg.predict(xtr)))
+        metrics["val_lp_r2"] = float(r2_score(yte, reg.predict(xte)))
+    return metrics

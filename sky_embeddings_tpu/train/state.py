@@ -1,0 +1,34 @@
+"""Functional train state.
+
+One PyTree carries everything a step mutates — params, optimizer state, step
+counter, PRNG key — so the jitted step is ``state, batch -> state, metrics``
+with buffer donation, and checkpointing is a pure serialization of the state
+plus the host-side metric history (matching the reference's single-artifact
+checkpoint, ``pretrain_mim.py:239-244``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params: Any, tx: optax.GradientTransformation, rng: jax.Array):
+        import jax.numpy as jnp
+
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            rng=rng,
+        )

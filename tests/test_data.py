@@ -1,0 +1,164 @@
+"""Data layer tests: synthetic fixtures, H5 batcher, device augmentations."""
+
+import os
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sky_embeddings_tpu.data.augment import (
+    augment_batch,
+    random_brightness,
+    random_channel_nan,
+    random_flips,
+    random_noise,
+    random_resized_crop,
+)
+from sky_embeddings_tpu.data.h5_loader import build_h5_batcher, central_crop
+from sky_embeddings_tpu.data.prefetch import device_prefetch
+from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+
+
+@pytest.fixture(scope="module")
+def h5file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("data") / "train.h5")
+    return write_synthetic_h5(path, n=50, channels=3, img_size=16, seed=1)
+
+
+def test_synthetic_schema(h5file):
+    with h5py.File(h5file, "r") as f:
+        assert f["cutouts"].shape == (50, 3, 16, 16)
+        assert f["cutouts"].dtype == np.float32
+        for key in ("ra", "dec", "zspec", "zspec_err", "class"):
+            assert f[key].shape == (50,)
+        assert np.isnan(f["cutouts"][:]).any()  # missing bands present
+
+
+def test_batcher_shapes_and_clipping(h5file):
+    b = build_h5_batcher(h5file, batch_size=16, img_size=16, shuffle=False)
+    assert len(b) == 3  # 50 // 16
+    batches = list(b)
+    assert len(batches) == 3
+    for batch in batches:
+        assert batch["cutouts"].shape == (16, 3, 16, 16)
+        assert batch["ra_dec"].shape == (16, 2)
+        assert np.nanmin(batch["cutouts"]) >= -3.0  # pixel_min clip
+
+
+def test_batcher_labels(h5file):
+    b = build_h5_batcher(h5file, batch_size=8, img_size=16, label_keys=["zspec"], shuffle=False)
+    batch = next(iter(b))
+    assert batch["labels"].shape == (8, 1)
+    assert batch["labels"].dtype == np.float32
+    b = build_h5_batcher(h5file, batch_size=8, img_size=16, label_keys=["class"], shuffle=False)
+    batch = next(iter(b))
+    assert batch["labels"].dtype == np.int32
+
+
+def test_batcher_order_unshuffled(h5file):
+    b = build_h5_batcher(h5file, batch_size=8, img_size=16, shuffle=False)
+    batch = next(iter(b))
+    with h5py.File(h5file, "r") as f:
+        want = np.clip(f["cutouts"][:8], -3.0, None)
+    np.testing.assert_allclose(batch["cutouts"], want)
+
+
+def test_batcher_indices_subset(h5file):
+    idx = [5, 3, 40, 41, 2, 7, 9, 11]
+    b = build_h5_batcher(h5file, batch_size=4, img_size=16, indices=idx, shuffle=False)
+    assert b.num_samples == 8
+    batch = next(iter(b))
+    with h5py.File(h5file, "r") as f:
+        want = np.clip(np.stack([f["cutouts"][i] for i in idx[:4]]), -3.0, None)
+    np.testing.assert_allclose(batch["cutouts"], want)
+
+
+def test_batcher_shuffle_reshuffles(h5file):
+    b = build_h5_batcher(h5file, batch_size=16, img_size=16, shuffle=True, seed=3)
+    e1 = next(iter(b))["ra_dec"]
+    e2 = next(iter(b))["ra_dec"]
+    assert not np.allclose(e1, e2)
+
+
+def test_central_crop():
+    x = np.arange(36).reshape(1, 6, 6)
+    out = central_crop(x, 2)
+    np.testing.assert_array_equal(out[0], [[14, 15], [20, 21]])
+
+
+def test_device_prefetch_order():
+    items = [{"a": np.full((2,), i)} for i in range(5)]
+    out = list(device_prefetch(items, size=2))
+    assert len(out) == 5
+    for i, item in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(item["a"]), i)
+
+
+# ----------------------------------------------------------------------
+# Augmentations
+# ----------------------------------------------------------------------
+
+def _batch(B=8, C=3, S=16, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=(B, C, S, S)).astype(np.float32))
+
+
+def test_random_flips_are_flips():
+    imgs = _batch()
+    out = np.asarray(random_flips(jax.random.PRNGKey(0), imgs))
+    src = np.asarray(imgs)
+    for b in range(imgs.shape[0]):
+        candidates = [
+            src[b], src[b, :, :, ::-1], src[b, :, ::-1, :], src[b, :, ::-1, ::-1]
+        ]
+        assert any(np.allclose(out[b], c) for c in candidates)
+
+
+def test_random_resized_crop_identity_when_full():
+    imgs = _batch()
+    out = random_resized_crop(
+        jax.random.PRNGKey(0), imgs, scale=(1.0, 1.0), ratio=(1.0, 1.0)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-5)
+
+
+def test_random_resized_crop_shapes_and_range():
+    imgs = _batch()
+    out = np.asarray(random_resized_crop(jax.random.PRNGKey(1), imgs))
+    assert out.shape == imgs.shape
+    assert np.isfinite(out).all()
+    # interpolation of values stays within input range
+    assert out.max() <= np.asarray(imgs).max() + 1e-5
+    assert out.min() >= np.asarray(imgs).min() - 1e-5
+
+
+def test_random_brightness_bounds():
+    imgs = jnp.ones((16, 1, 4, 4))
+    out = np.asarray(random_brightness(jax.random.PRNGKey(0), imgs, 0.8))
+    factors = out[:, 0, 0, 0]
+    assert (factors >= 0.8).all() and (factors <= 1.25 + 1e-6).all()
+
+
+def test_random_noise_scale():
+    imgs = jnp.zeros((4, 1, 32, 32))
+    out = np.asarray(random_noise(jax.random.PRNGKey(0), imgs, 0.1))
+    assert np.abs(out).std() < 0.2
+
+
+def test_random_channel_nan_counts():
+    imgs = _batch(B=64, C=5)
+    out = np.asarray(random_channel_nan(jax.random.PRNGKey(0), imgs, max_channels=2))
+    nan_channels = np.isnan(out).all(axis=(2, 3)).sum(axis=1)
+    assert nan_channels.max() <= 2
+    assert nan_channels.min() >= 0
+    assert len(np.unique(nan_channels)) > 1  # distribution not degenerate
+
+
+def test_augment_batch_composes():
+    imgs = _batch(B=4, C=5)
+    out = np.asarray(augment_batch(jax.random.PRNGKey(0), imgs, nan_channels=2))
+    assert out.shape == imgs.shape
+    # non-NaN'd channels remain finite
+    finite_frac = np.isfinite(out).mean()
+    assert finite_frac > 0.5
