@@ -188,10 +188,11 @@ class MIMPretrainer:
         payload = ckpt.load_checkpoint(path)
         if payload is None:
             return False
-        params = ckpt.restore_like(jax.device_get(self.state.params), payload["params"])
-        opt_state = ckpt.restore_like(
-            jax.device_get(self.state.opt_state), payload["opt_state"]
-        )
+        # Templates from shape metadata only — never device_get here (leaf-
+        # by-leaf transfers over a tunneled runtime take minutes).
+        abstract = self.state.abstract()
+        params = ckpt.restore_like(abstract.params, payload["params"])
+        opt_state = ckpt.restore_like(abstract.opt_state, payload["opt_state"])
         rng = payload.get("rng")
         rng = (
             jnp.asarray(rng, jnp.uint32) if rng is not None else jax.random.PRNGKey(1)

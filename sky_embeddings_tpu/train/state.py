@@ -29,6 +29,14 @@ class TrainState(struct.PyTreeNode):
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
-            opt_state=tx.init(params),
+            # jitted: eager init dispatches one tiny op per parameter, which
+            # is pathological over a tunneled TPU runtime.
+            opt_state=jax.jit(tx.init)(params),
             rng=rng,
+        )
+
+    def abstract(self) -> "TrainState":
+        """Shape/dtype skeleton (no device access) for checkpoint templates."""
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self
         )
