@@ -30,6 +30,12 @@ def _spec_for(path: tuple[str, ...]) -> P:
     names = [p for p in path]
     leaf = names[-1]
     parent = names[-2] if len(names) > 1 else ""
+    # The patch embedding's Dense is also named 'proj' but is column-parallel
+    # (split the embedding dim, not the pixel dim).
+    if "patch_embed" in names:
+        if leaf == "kernel":
+            return P(None, "model")
+        return P("model") if leaf == "bias" else P()
     if leaf == "kernel":
         if parent in _COLUMN:
             return P(None, "model")

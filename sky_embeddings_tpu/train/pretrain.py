@@ -233,13 +233,18 @@ def train_network(
         log_fn("Training already complete for this config; nothing to do.")
         return
 
+    from sky_embeddings_tpu.utils.profiling import StepTimer
+
+    timer = StepTimer(batch_size=pretrainer.batch_size)
     stream = device_prefetch(train_batches, size=2, sharding=pretrainer.batch_shard)
     for batch in stream:
         loss = pretrainer.train_batch(batch)
         losses_cp["train_loss"].append(loss)
+        timer.step()
         cur_iter = pretrainer.cur_iter
 
         if cur_iter % verbose_iters == 0:
+            perf = timer.lap(loss)  # close the timing window before eval work
             # Validation pass (≤ max_val_batches, ref pretrain_mim.py:186-187)
             if val_batcher is not None:
                 for i, vbatch in enumerate(val_batcher):
@@ -267,6 +272,8 @@ def train_network(
 
             msg = [f"Batch Iterations: {cur_iter}/{total_batch_iters}"]
             msg.append(f"  train loss {losses['train_loss'][-1]:.4f}")
+            if perf.get("img_per_sec"):
+                msg.append(f"  {perf['img_per_sec']:.0f} img/s")
             if losses.get("val_loss"):
                 msg.append(f"  val loss {losses['val_loss'][-1]:.4f}")
             if losses.get("val_lp_acc"):
