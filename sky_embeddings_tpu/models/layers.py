@@ -97,7 +97,12 @@ class Attention(nn.Module):
     """Multi-head self-attention with a fused qkv projection.
 
     One (D -> 3D) matmul for qkv keeps the MXU busy with a single large
-    contraction; softmax runs in float32 regardless of ``dtype``.
+    contraction. The attention core (logits -> fp32 softmax -> context)
+    dispatches to a fused Pallas kernel on TPU — the sequences here are short
+    (≤ ~70 tokens), so the whole attention fits in VMEM and the fused kernel
+    removes all transposed q/k/v and fp32-logit HBM traffic
+    (``ops/kernels/attention.py``); elsewhere it runs as XLA einsums with the
+    same numerics.
     """
 
     num_heads: int
@@ -105,19 +110,13 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sky_embeddings_tpu.ops.kernels.attention import attention_context
+
         B, N, D = x.shape
         if D % self.num_heads:
             raise ValueError(f"dim {D} not divisible by heads {self.num_heads}")
-        head_dim = D // self.num_heads
         qkv = nn.Dense(3 * D, kernel_init=xavier_uniform, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
-
-        scale = head_dim ** -0.5
-        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
-        out = jnp.einsum("bhnm,bmhd->bnhd", probs.astype(self.dtype), v)
-        out = out.reshape(B, N, D)
+        out = attention_context(qkv, self.num_heads).astype(self.dtype)
         return nn.Dense(D, kernel_init=xavier_uniform, dtype=self.dtype, name="proj")(out)
 
 
