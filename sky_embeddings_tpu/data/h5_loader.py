@@ -64,7 +64,18 @@ class H5Batcher:
         seed: int = 0,
         prefetch_batches: int = 4,
         read_chunk: int = 4096,
+        shuffle_mode: str = "auto",
+        buffer_batches: int = 8,
+        transfer_dtype=None,
     ):
+        """``shuffle_mode``: 'exact' gathers fully random rows per batch
+        (reference semantics, slow on chunked files); 'buffer' reads
+        contiguous slabs in random order and shuffles inside a
+        ``buffer_batches``-batch reservoir — sequential-read speed (~9× here)
+        with near-uniform mixing; 'auto' picks 'buffer' for whole-file
+        training streams and 'exact' when an ``indices`` subset is given.
+        ``transfer_dtype`` (e.g. np.float16) optionally narrows cutouts after
+        clipping to halve host->device bytes on transfer-bound hosts."""
         if h5py is None:
             raise ImportError("h5py is required for the HDF5 data path")
         self.path = path
@@ -77,6 +88,13 @@ class H5Batcher:
         self.drop_remainder = drop_remainder
         self.prefetch_batches = prefetch_batches
         self.read_chunk = read_chunk
+        self.buffer_batches = max(buffer_batches, 2)
+        self.transfer_dtype = transfer_dtype
+        if shuffle_mode == "auto":
+            shuffle_mode = "exact" if indices is not None else "buffer"
+        if shuffle_mode not in ("exact", "buffer"):
+            raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
+        self.shuffle_mode = shuffle_mode
         self._epoch = 0
         self._seed = seed
 
@@ -85,8 +103,10 @@ class H5Batcher:
             self._raw_shape = f["cutouts"].shape[1:]
         if indices is not None:
             self.indices = np.asarray(indices, dtype=np.int64)
+            self._full_range = False
         else:
             self.indices = np.arange(n_total, dtype=np.int64)
+            self._full_range = True
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
@@ -109,29 +129,101 @@ class H5Batcher:
         inv[order] = np.arange(len(order))
         return data[inv]
 
-    def _make_batch(self, f, rows: np.ndarray) -> dict:
-        cutouts = self._read_rows(f, "cutouts", rows).astype(np.float32)
+    def _finalize(self, cutouts: np.ndarray, ra, dec, label_cols) -> dict:
+        """Clip, crop, and assemble the final batch dict.
+
+        ``cutouts`` must be a freshly-gathered array (clipping is in-place).
+        """
+        cutouts = np.asarray(cutouts, dtype=np.float32)
         if self.pixel_min is not None:
             np.maximum(cutouts, self.pixel_min, out=cutouts)
         if self.pixel_max is not None:
             np.minimum(cutouts, self.pixel_max, out=cutouts)
         if cutouts.shape[-1] > self.img_size or cutouts.shape[-2] > self.img_size:
             cutouts = np.ascontiguousarray(central_crop(cutouts, self.img_size))
+        if self.transfer_dtype is not None:
+            cutouts = cutouts.astype(self.transfer_dtype)
 
-        ra = self._read_rows(f, "ra", rows).astype(np.float32)
-        dec = self._read_rows(f, "dec", rows).astype(np.float32)
-        batch = {"cutouts": cutouts, "ra_dec": np.stack([ra, dec], axis=1)}
-
-        if self.label_keys:
-            cols = [self._read_rows(f, k, rows) for k in self.label_keys]
+        batch = {
+            "cutouts": cutouts,
+            "ra_dec": np.stack(
+                [np.asarray(ra, np.float32), np.asarray(dec, np.float32)], axis=1
+            ),
+        }
+        if label_cols is not None:
             if "class" in self.label_keys:
-                labels = np.stack(cols, axis=-1).astype(np.int32)
+                labels = np.stack(label_cols, axis=-1).astype(np.int32)
             else:
-                labels = np.stack(cols, axis=-1).astype(np.float32)
+                labels = np.stack(label_cols, axis=-1).astype(np.float32)
             if labels.ndim > 2:  # label columns that are already vectors
-                labels = labels.reshape(len(rows), -1)
+                labels = labels.reshape(len(cutouts), -1)
             batch["labels"] = labels
         return batch
+
+    def _make_batch(self, f, rows: np.ndarray) -> dict:
+        cutouts = self._read_rows(f, "cutouts", rows)
+        ra = self._read_rows(f, "ra", rows)
+        dec = self._read_rows(f, "dec", rows)
+        cols = (
+            [self._read_rows(f, k, rows) for k in self.label_keys]
+            if self.label_keys
+            else None
+        )
+        return self._finalize(cutouts, ra, dec, cols)
+
+    def _buffered_batches(self, f, rng: np.random.Generator):
+        """Sequential slab reads in random order + reservoir shuffle.
+
+        Slabs are read with ``read_direct`` straight into a preallocated pool
+        (no intermediate arrays); each emitted batch is a single permutation
+        gather out of the pool. Disk-sequential, one copy per batch.
+        """
+        n = len(self.indices)
+        starts = np.arange(0, n, self.read_chunk)
+        rng.shuffle(starts)
+        keys = ["cutouts", "ra", "dec"] + (list(self.label_keys) if self.label_keys else [])
+        cap = self.buffer_batches * self.batch_size + self.read_chunk
+        pool = {
+            k: np.empty((cap,) + f[k].shape[1:], dtype=f[k].dtype) for k in keys
+        }
+        fill = 0
+
+        def emit(final: bool):
+            nonlocal fill
+            perm = rng.permutation(fill)
+            n_full = fill // self.batch_size
+            for i in range(n_full):
+                sel = perm[i * self.batch_size : (i + 1) * self.batch_size]
+                cols = [pool[k][sel] for k in self.label_keys] if self.label_keys else None
+                yield self._finalize(
+                    pool["cutouts"][sel], pool["ra"][sel], pool["dec"][sel], cols
+                )
+            rest = perm[n_full * self.batch_size :]
+            if final and len(rest) and not self.drop_remainder:
+                cols = [pool[k][rest] for k in self.label_keys] if self.label_keys else None
+                yield self._finalize(
+                    pool["cutouts"][rest], pool["ra"][rest], pool["dec"][rest], cols
+                )
+                fill = 0
+            else:
+                for k in keys:  # compact leftovers to the front
+                    pool[k][: len(rest)] = pool[k][rest]
+                fill = len(rest)
+
+        target_rows = self.buffer_batches * self.batch_size
+        for s in starts:
+            s = int(s)
+            e = min(s + self.read_chunk, n)
+            count = e - s
+            for k in keys:
+                f[k].read_direct(
+                    pool[k], np.s_[s:e], np.s_[fill : fill + count]
+                )
+            fill += count
+            if fill >= target_rows:
+                yield from emit(final=False)
+        if fill:
+            yield from emit(final=True)
 
     def _batch_rows(self) -> list[np.ndarray]:
         idx = self.indices
@@ -148,15 +240,21 @@ class H5Batcher:
     def __iter__(self) -> Iterator[dict]:
         """One pass over the dataset, batches produced by a reader thread."""
         self._epoch += 1
-        row_groups = self._batch_rows()
+        use_buffer = self.shuffle and self.shuffle_mode == "buffer" and self._full_range
+        rng = np.random.default_rng(self._seed + self._epoch)
+        row_groups = None if use_buffer else self._batch_rows()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         _SENTINEL = object()
 
         def reader():
             try:
                 with h5py.File(self.path, "r") as f:
-                    for rows in row_groups:
-                        q.put(self._make_batch(f, rows))
+                    if use_buffer:
+                        for batch in self._buffered_batches(f, rng):
+                            q.put(batch)
+                    else:
+                        for rows in row_groups:
+                            q.put(self._make_batch(f, rows))
             except BaseException as e:  # surface errors in the consumer
                 q.put(e)
                 return
