@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""I-JEPA pretraining CLI.
+
+    python pretrain_jepa.py <model_name> [-v N] [-ct M] [-dd DIR]
+
+The reference snapshot ships the jepa config (``configs/jepa_1.ini``) without
+model code; this framework implements the method end-to-end
+(``models/jepa.py``, ``train/jepa.py``). Same loop semantics as
+``pretrain_mim.py``: h5 or FITS streams, validation passes, linear probes,
+wall-clock checkpoints.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+from sky_embeddings_tpu.configuration import load_config
+from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+from sky_embeddings_tpu.train.jepa import JEPATrainer
+from sky_embeddings_tpu.train.pretrain import train_network
+from sky_embeddings_tpu.utils.checkpoint import checkpoint_path
+from sky_embeddings_tpu.utils.misc import build_train_argparser
+
+
+def main(args):
+    cur_dir = os.path.dirname(os.path.abspath(__file__))
+    config_dir = os.path.join(cur_dir, "configs")
+    model_dir = os.path.join(cur_dir, "models")
+    fig_dir = os.path.join(cur_dir, "figures")
+    data_dir = args.data_dir or os.path.join(cur_dir, "data")
+    os.makedirs(model_dir, exist_ok=True)
+    os.makedirs(fig_dir, exist_ok=True)
+
+    print(f"Using JAX {jax.__version__} with devices: {jax.devices()}")
+    model_name = args.model_name
+    config = load_config(model_name, config_dir)
+    print(f"\nCreating model: {model_name}\n\nConfiguration:")
+    print(config.describe())
+
+    trainer = JEPATrainer(config)
+    model_filename = checkpoint_path(model_dir, model_name)
+    if trainer.restore(model_filename):
+        print(f"\nResumed from {model_filename} at iteration {trainer.cur_iter}.")
+    else:
+        print("\nStarting fresh model to train...")
+
+    data = config.data
+    batch_size = trainer.batch_size
+    img_size = config.architecture.int("img_size")
+
+    if "train_data_file" in data:
+        train_batcher = build_h5_batcher(
+            os.path.join(data_dir, data.str("train_data_file")),
+            batch_size=batch_size, img_size=img_size, shuffle=True,
+        )
+        train_batches = train_batcher.forever()
+    else:
+        from sky_embeddings_tpu.data.fits_loader import build_fits_batcher
+
+        train_batcher = build_fits_batcher(
+            data.list("train_data_paths"),
+            bands=data.list("bands"),
+            min_bands=data.int("min_bands", 2),
+            batch_size=batch_size,
+            img_size=img_size,
+            cutouts_per_tile=data.int("cutouts_per_tile", 1024),
+            use_calexp=data.bool("use_calexp", True),
+            shuffle=True,
+        )
+        train_batches = train_batcher.forever()
+
+    val_batcher = build_h5_batcher(
+        os.path.join(data_dir, data.str("val_data_file")),
+        batch_size=batch_size, img_size=img_size, shuffle=True,
+    )
+    lp_class = (
+        os.path.join(data_dir, data.str("lp_class_data_file"))
+        if "lp_class_data_file" in data else None
+    )
+    lp_regress = (
+        os.path.join(data_dir, data.str("lp_regress_data_file"))
+        if "lp_regress_data_file" in data else None
+    )
+
+    train_network(
+        trainer, train_batches, val_batcher,
+        trainer.total_batch_iters, args.verbose_iters, args.cp_time,
+        model_filename, fig_dir=fig_dir,
+        lp_class_data_file=lp_class, lp_regress_data_file=lp_regress,
+        lp_combine=data.str("lp_combine", "central"),
+    )
+
+
+if __name__ == "__main__":
+    parser = build_train_argparser("I-JEPA pretraining")
+    main(parser.parse_args())
+    print("\nTraining complete.")

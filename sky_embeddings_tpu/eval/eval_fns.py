@@ -86,8 +86,12 @@ def mim_reconstruct(
 
 
 def _encode_fn(model, variables, imgs, ra_dec):
+    from sky_embeddings_tpu.models.jepa import SkyJEPA
+
     if isinstance(model, SkyMIM):
         tokens, _, _ = model.apply(variables, imgs, ra_dec=ra_dec, method=SkyMIM.encode)
+    elif isinstance(model, SkyJEPA):
+        tokens = model.apply(variables, imgs, method=SkyJEPA.encode)
     else:
         tokens = model.apply(variables, imgs, ra_dec=ra_dec, method=SkyViT.encode)
     return tokens

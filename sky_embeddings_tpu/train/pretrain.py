@@ -289,7 +289,7 @@ def train_network(
                     losses,
                     savename=os.path.join(fig_dir, f"{model_name}_progress.png"),
                 )
-                if val_batcher is not None:
+                if val_batcher is not None and isinstance(pretrainer.model, SkyMIM):
                     from sky_embeddings_tpu.eval.eval_fns import mim_reconstruct
 
                     first = next(iter(val_batcher))
