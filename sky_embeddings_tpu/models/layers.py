@@ -156,6 +156,47 @@ class LayerNorm(nn.Module):
         return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="ln")(x)
 
 
+class MlpBlock(nn.Module):
+    """LN -> fc1 -> exact GELU -> fc2 -> residual, with explicit parameters.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (``ops/kernels/mlp_block.py``) that keeps the whole tile in VMEM with
+    stationary weights; elsewhere (and whenever shapes don't tile) it runs the
+    identical math as XLA ops. LN statistics, GELU, and accumulations are
+    fp32 in both paths.
+    """
+
+    hidden_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sky_embeddings_tpu.ops.kernels.mlp_block import (
+            fused_mlp_block,
+            xla_mlp_block,
+        )
+
+        D = x.shape[-1]
+        scale = self.param("norm_scale", nn.initializers.ones, (D,), jnp.float32)
+        bias = self.param("norm_bias", nn.initializers.zeros, (D,), jnp.float32)
+        w1 = self.param("fc1_kernel", xavier_uniform, (D, self.hidden_dim), jnp.float32)
+        b1 = self.param("fc1_bias", nn.initializers.zeros, (self.hidden_dim,), jnp.float32)
+        w2 = self.param("fc2_kernel", xavier_uniform, (self.hidden_dim, D), jnp.float32)
+        b2 = self.param("fc2_bias", nn.initializers.zeros, (D,), jnp.float32)
+
+        w1c, w2c = w1.astype(self.dtype), w2.astype(self.dtype)
+        xc = x.astype(self.dtype)
+        B = x.shape[0]
+        if (
+            jax.default_backend() == "tpu"
+            and B % 16 == 0
+            and D % 128 == 0
+            and self.hidden_dim % 128 == 0
+        ):
+            return fused_mlp_block(xc, scale, bias, w1c, b1, w2c, b2)
+        return xla_mlp_block(xc, scale, bias, w1c, b1, w2c, b2)
+
+
 class Block(nn.Module):
     """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
 
@@ -168,9 +209,7 @@ class Block(nn.Module):
         D = x.shape[-1]
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(int(D * self.mlp_ratio), D, dtype=self.dtype, name="mlp")(y)
-        return x
+        return MlpBlock(int(D * self.mlp_ratio), dtype=self.dtype, name="ffn")(x)
 
 
 class Encoder(nn.Module):

@@ -43,6 +43,13 @@ def _spec_for(path: tuple[str, ...]) -> P:
             return P("model", None)
     if leaf == "bias" and parent in _COLUMN:
         return P("model")
+    # MlpBlock flat parameter names (fused-kernel module)
+    if leaf == "fc1_kernel":
+        return P(None, "model")
+    if leaf == "fc2_kernel":
+        return P("model", None)
+    if leaf == "fc1_bias":
+        return P("model")
     return P()
 
 

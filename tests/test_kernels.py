@@ -57,3 +57,60 @@ def test_attention_module_cpu_uses_xla_path():
     params = attn.init(jax.random.PRNGKey(0), x)
     g = jax.grad(lambda p: (attn.apply(p, x) ** 2).sum())(params)
     assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
+
+
+# ----------------------------------------------------------------------
+# Fused MLP block
+# ----------------------------------------------------------------------
+
+def _mlp_inputs(B=8, N=17, D=48, F=192, seed=2):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=D).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.normal(size=D).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(D, F)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(0.01 * rng.normal(size=F).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(size=(F, D)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(0.01 * rng.normal(size=D).astype(np.float32))
+    return x, scale, bias, w1, b1, w2, b2
+
+
+def test_fused_mlp_block_forward_parity():
+    from sky_embeddings_tpu.ops.kernels.mlp_block import fused_mlp_block, xla_mlp_block
+
+    args = _mlp_inputs()
+    out_k = fused_mlp_block(*args, 4, True)
+    out_x = xla_mlp_block(*args)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
+
+
+def test_fused_mlp_block_backward_parity():
+    from sky_embeddings_tpu.ops.kernels.mlp_block import fused_mlp_block, xla_mlp_block
+
+    args = _mlp_inputs()
+
+    def loss_k(*a):
+        return (fused_mlp_block(*a, 4, True) ** 2).sum()
+
+    def loss_x(*a):
+        return (xla_mlp_block(*a) ** 2).sum()
+
+    g_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    g_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    names = ["x", "scale", "bias", "w1", "b1", "w2", "b2"]
+    for name, a, b in zip(names, g_k, g_x):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale, rtol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_gelu_approximation_accuracy():
+    from sky_embeddings_tpu.ops.kernels.mlp_block import _gelu, _gelu_grad
+
+    x = jnp.linspace(-6, 6, 1001)
+    want = jax.nn.gelu(x, approximate=False)
+    np.testing.assert_allclose(np.asarray(_gelu(x)), np.asarray(want), atol=2e-6)
+    want_grad = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x)
+    np.testing.assert_allclose(np.asarray(_gelu_grad(x)), np.asarray(want_grad), atol=5e-6)

@@ -47,11 +47,11 @@ def test_attention_matches_torch():
 
 def _load_block(oracle: OracleBlock, p):
     set_layernorm(oracle.norm1, _np(p["norm1"]["scale"]), _np(p["norm1"]["bias"]))
-    set_layernorm(oracle.norm2, _np(p["norm2"]["scale"]), _np(p["norm2"]["bias"]))
+    set_layernorm(oracle.norm2, _np(p["ffn"]["norm_scale"]), _np(p["ffn"]["norm_bias"]))
     set_linear(oracle.attn.qkv, _np(p["attn"]["qkv"]["kernel"]), _np(p["attn"]["qkv"]["bias"]))
     set_linear(oracle.attn.proj, _np(p["attn"]["proj"]["kernel"]), _np(p["attn"]["proj"]["bias"]))
-    set_linear(oracle.mlp.fc1, _np(p["mlp"]["fc1"]["kernel"]), _np(p["mlp"]["fc1"]["bias"]))
-    set_linear(oracle.mlp.fc2, _np(p["mlp"]["fc2"]["kernel"]), _np(p["mlp"]["fc2"]["bias"]))
+    set_linear(oracle.mlp.fc1, _np(p["ffn"]["fc1_kernel"]), _np(p["ffn"]["fc1_bias"]))
+    set_linear(oracle.mlp.fc2, _np(p["ffn"]["fc2_kernel"]), _np(p["ffn"]["fc2_bias"]))
 
 
 def test_block_matches_torch():

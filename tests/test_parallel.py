@@ -40,8 +40,10 @@ def test_param_specs_tp_rules():
     blk = specs["encoder"]["block0"]
     assert blk["attn"]["qkv"]["kernel"] == P(None, "model")
     assert blk["attn"]["proj"]["kernel"] == P("model", None)
-    assert blk["mlp"]["fc1"]["kernel"] == P(None, "model")
-    assert blk["mlp"]["fc2"]["kernel"] == P("model", None)
+    assert blk["ffn"]["fc1_kernel"] == P(None, "model")
+    assert blk["ffn"]["fc2_kernel"] == P("model", None)
+    assert blk["ffn"]["fc1_bias"] == P("model")
+    assert blk["ffn"]["norm_scale"] == P()
     assert specs["cls_token"] == P()
     assert specs["patch_embed"]["proj"]["kernel"] == P(None, "model")
 
