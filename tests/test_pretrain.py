@@ -169,3 +169,31 @@ def test_mae_pretrainer_runs(data_files):
     loss = float(pre.train_batch(batch))
     assert np.isfinite(loss)
     assert pre.max_mask_ratio is None
+
+
+def test_ft_compat_lr_quirk():
+    """The reference feeds config weight_decay into the ft base LR
+    (vit.py:141-143); compat mode must reproduce that, and the fixed mode
+    must use init_lr (PARITY.md #1)."""
+    import jax.numpy as jnp
+    from sky_embeddings_tpu.train import optim as O
+
+    params = {"head": {"kernel": jnp.ones((2, 3))}}  # layer id = depth+1, scale 1
+    grads = {"head": {"kernel": jnp.ones((2, 3))}}
+    wd_value, lr_value = 0.01, 1e-6
+
+    def first_update(compat):
+        tx = O.finetune_optimizer(
+            params, lambda lr: lambda step: lr, depth=12, layer_decay=0.5,
+            init_lr=lr_value, weight_decay=wd_value, compat_ft_lr=compat,
+        )
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        return float(jnp.abs(updates["head"]["kernel"]).max())
+
+    # first Adam step: |update| ~ lr * |sign + wd*param|
+    up_compat = first_update(True)
+    up_fixed = first_update(False)
+    # compat: base lr == weight_decay (0.01); fixed: base lr == init_lr (1e-6)
+    assert 0.001 < up_compat < 0.02
+    assert up_fixed < 1e-5
