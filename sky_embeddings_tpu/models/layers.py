@@ -187,8 +187,12 @@ class MlpBlock(nn.Module):
         w1c, w2c = w1.astype(self.dtype), w2.astype(self.dtype)
         xc = x.astype(self.dtype)
         B = x.shape[0]
+        # Fused path: bf16 only — fp32 weights don't fit the backward
+        # kernel's VMEM budget, and fp32 "parity mode" should keep XLA's
+        # exact erf rather than the kernel's polynomial approximation.
         if (
             jax.default_backend() == "tpu"
+            and self.dtype == jnp.bfloat16
             and B % 16 == 0
             and D % 128 == 0
             and self.hidden_dim % 128 == 0
