@@ -45,12 +45,14 @@ def mim_reconstruct(
         mask = simmim_batch_mask(
             key, B, model.in_chans, model.img_size, model.patch_size, ratio
         )
-        _, pred, _ = model.apply(variables, imgs, ra_dec=ra_dec, mask=mask)
+        _, pred, _ = jax.jit(
+            lambda vs, x, rd, m: model.apply(vs, x, ra_dec=rd, mask=m)
+        )(variables, imgs, ra_dec, mask)
         pix_mask = mask
     else:
-        _, pred, tok_mask = model.apply(
-            variables, imgs, ra_dec=ra_dec, rngs={"mask": key}
-        )
+        _, pred, tok_mask = jax.jit(
+            lambda vs, x, rd, k: model.apply(vs, x, ra_dec=rd, rngs={"mask": k})
+        )(variables, imgs, ra_dec, key)
         if model.norm_pix_loss:
             from sky_embeddings_tpu.models.layers import patchify
 
@@ -98,14 +100,19 @@ def _encode_fn(model, variables, imgs, ra_dec):
 
 
 def make_encoder(model, variables):
-    """A jitted (imgs, ra_dec) -> tokens closure for repeated extraction."""
+    """A jitted (imgs, ra_dec) -> tokens closure for repeated extraction.
+
+    ``variables`` is passed as a jit argument, NOT closed over — closure
+    constants embed the full parameter tree into the compiled program (and
+    into remote-compile requests), which breaks at ViT-B scale.
+    """
     uses_ra_dec = model.ra_dec
 
     @jax.jit
-    def encode(imgs, ra_dec):
-        return _encode_fn(model, variables, imgs, ra_dec if uses_ra_dec else None)
+    def encode(vs, imgs, ra_dec):
+        return _encode_fn(model, vs, imgs, ra_dec if uses_ra_dec else None)
 
-    return encode
+    return lambda imgs, ra_dec: encode(variables, imgs, ra_dec)
 
 
 def extract_latents(
@@ -179,9 +186,11 @@ def predictor_infer(
     ``ft_predict``, ``eval_fns.py:142-190``). Returns (targets, preds[, imgs])."""
 
     @jax.jit
-    def run(imgs, ra_dec):
-        out = model.apply(variables, imgs, ra_dec=ra_dec if model.ra_dec else None)
+    def _run(vs, imgs, ra_dec):
+        out = model.apply(vs, imgs, ra_dec=ra_dec if model.ra_dec else None)
         return model.denormalize_labels(out)
+
+    run = lambda imgs, ra_dec: _run(variables, imgs, ra_dec)
 
     targets, preds, images = [], [], []
     for i, batch in enumerate(batches):

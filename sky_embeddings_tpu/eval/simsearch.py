@@ -66,25 +66,27 @@ def mim_simsearch(
     n_extra = model.num_extra_tokens
     target = _select_tokens(jnp.asarray(target_latent), n_extra, cls_token, max_pool)
 
-    def encode(imgs, ra_dec):
+    # NOTE: variables are jit *arguments* — closing over them would embed the
+    # full parameter tree as constants in the compiled program.
+    def encode(vs, imgs, ra_dec):
         kwargs = {"ra_dec": ra_dec} if model.ra_dec else {}
         if isinstance(model, SkyMIM):
-            tokens, _, _ = model.apply(variables, imgs, method=SkyMIM.encode, **kwargs)
+            tokens, _, _ = model.apply(vs, imgs, method=SkyMIM.encode, **kwargs)
         else:
-            tokens = model.apply(variables, imgs, method=SkyViT.encode, **kwargs)
+            tokens = model.apply(vs, imgs, method=SkyViT.encode, **kwargs)
         return tokens
 
     @jax.jit
-    def first_batch_stats(imgs, ra_dec):
-        latent = _select_tokens(encode(imgs, ra_dec), n_extra, cls_token, max_pool)
+    def first_batch_stats(vs, imgs, ra_dec):
+        latent = _select_tokens(encode(vs, imgs, ra_dec), n_extra, cls_token, max_pool)
         mean = latent.mean(axis=(0, 1))
         n = latent.shape[0] * latent.shape[1]
         var = ((latent - mean) ** 2).sum(axis=(0, 1)) / jnp.maximum(n - 1, 1)
         return mean, jnp.sqrt(var)
 
     @jax.jit
-    def search_step(topk, imgs, ra_dec, target_std, mean, std):
-        latent = _select_tokens(encode(imgs, ra_dec), n_extra, cls_token, max_pool)
+    def search_step(vs, topk, imgs, ra_dec, target_std, mean, std):
+        latent = _select_tokens(encode(vs, imgs, ra_dec), n_extra, cls_token, max_pool)
         latent = (latent - mean) / (std + 1e-8)
         scores = compute_similarity(
             target_std, latent, metric=metric, combine=combine, use_weights=use_weights
@@ -100,14 +102,14 @@ def mim_simsearch(
         imgs = jnp.asarray(batch["cutouts"])
         ra_dec = jnp.asarray(batch["ra_dec"])
         if i == 0:
-            mean, std = first_batch_stats(imgs, ra_dec)
+            mean, std = first_batch_stats(variables, imgs, ra_dec)
             target_std = (target - mean) / (std + 1e-8)
             payload_shapes = {
                 "images": jax.ShapeDtypeStruct(imgs.shape[1:], imgs.dtype),
                 "ra_decs": jax.ShapeDtypeStruct((2,), jnp.float32),
             }
             topk = topk_init(n_save, payload_shapes, largest=largest)
-        topk = search_step(topk, imgs, ra_dec, target_std, mean, std)
+        topk = search_step(variables, topk, imgs, ra_dec, target_std, mean, std)
         n_done += 1
         if log_every and (i + 1) % log_every == 0:
             log_fn(f"Processed {i + 1} image batches...")
@@ -120,7 +122,7 @@ def mim_simsearch(
     best_ra_decs = payload["ra_decs"]
 
     # Re-encode the winners for their features (reference similarity.py:124-130)
-    best_latent = jax.jit(encode)(best_images, best_ra_decs)
+    best_latent = jax.jit(encode)(variables, best_images, best_ra_decs)
 
     return (
         np.asarray(best_images),

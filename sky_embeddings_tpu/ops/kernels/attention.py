@@ -214,7 +214,10 @@ def xla_attention(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
 
 def attention_context(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """Dispatch: fused differentiable Pallas kernel on TPU (when the batch
-    tiles and the sequence is short enough for VMEM), XLA einsum elsewhere."""
+    tiles and the sequence is short enough for VMEM), XLA einsum elsewhere.
+
+    The batch tile is sized by element width so double-buffered qkv blocks
+    fit VMEM for fp32 inputs too (fwd parity on TPU is exact; bwd ~1e-5)."""
     B, N, three_d = qkv.shape
     if (
         jax.default_backend() == "tpu"
@@ -222,8 +225,10 @@ def attention_context(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
         and N <= 256
         and (three_d // 3) % num_heads == 0
     ):
+        itemsize = jnp.dtype(qkv.dtype).itemsize
+        max_block = DEFAULT_BLOCK_B if itemsize <= 2 else DEFAULT_BLOCK_B // 4
         block_b = 16
-        while block_b * 2 <= DEFAULT_BLOCK_B and B % (block_b * 2) == 0:
+        while block_b * 2 <= max_block and B % (block_b * 2) == 0:
             block_b *= 2
         return fused_attention_ad(qkv, num_heads, block_b)
     return xla_attention(qkv, num_heads)

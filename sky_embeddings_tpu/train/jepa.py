@@ -58,9 +58,11 @@ def scheduled_weight_decay(schedule, mask) -> optax.GradientTransformation:
 
 
 class JEPATrainer:
-    def __init__(self, config: Config, mesh=None, dtype=jnp.float32, seed: int = 0):
+    def __init__(self, config: Config, mesh=None, dtype=None, seed: int = 0):
         self.config = config
         self.mesh = mesh if mesh is not None else create_mesh()
+        if dtype is None:
+            dtype = jnp.dtype(config.training.str("dtype", "float32")).type
         self.model = build_jepa_model(config, dtype=dtype)
 
         training = config.training

@@ -147,13 +147,15 @@ class PredictorTrainer:
         config: Config,
         mae_config: Config,
         mesh=None,
-        dtype=jnp.float32,
+        dtype=None,
         seed: int = 0,
         compat_ft_lr: bool = True,
     ):
         self.config = config
         self.mae_config = mae_config
         self.mesh = mesh if mesh is not None else create_mesh()
+        if dtype is None:
+            dtype = jnp.dtype(config.training.str("dtype", "float32")).type
         self.model = build_predictor_model(config, mae_config, dtype=dtype)
 
         training = config.training

@@ -92,12 +92,16 @@ class MIMPretrainer:
         self,
         config: Config,
         mesh=None,
-        dtype=jnp.float32,
+        dtype=None,
         seed: int = 0,
         remat: bool = False,
     ):
         self.config = config
         self.mesh = mesh if mesh is not None else create_mesh()
+        if dtype is None:
+            # [TRAINING] dtype = float32 (reference-parity default) | bfloat16
+            # (recommended on TPU: ~2x step throughput, fused kernels)
+            dtype = jnp.dtype(config.training.str("dtype", "float32")).type
         self.model = build_mim_model(config, dtype=dtype, remat=remat)
 
         training = config.training

@@ -153,3 +153,26 @@ def test_masked_loss_broadcast_mask():
     mask = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
     loss = float(masked_recon_loss(target, pred, mask, "l1"))
     np.testing.assert_allclose(loss, 4.0 / (4 + 1e-5), rtol=1e-6)
+
+
+def test_host_mask_generator_parity():
+    """Host MaskGenerator must match the device generator's distribution
+    contract: same count per channel, patch-constant, ceil(ratio*G²) bound."""
+    import numpy as np
+    from sky_embeddings_tpu.data.mask_generator import MaskGenerator
+
+    gen = MaskGenerator(input_size=32, patch_size=4, max_mask_ratio=0.9,
+                        num_mask_chans=3, rng=np.random.default_rng(0))
+    g = 8
+    for _ in range(10):
+        m = gen()
+        assert m.shape == (3, 32, 32)
+        patch = m.reshape(3, g, 4, g, 4)
+        assert (patch.min(axis=(2, 4)) == patch.max(axis=(2, 4))).all()
+        counts = patch[:, :, 0, :, 0].sum(axis=(1, 2))
+        assert (counts == counts[0]).all()
+        assert counts[0] <= np.ceil(0.9 * g * g)
+
+    single = MaskGenerator(input_size=16, patch_size=4, num_mask_chans=1,
+                           rng=np.random.default_rng(1))()
+    assert single.shape == (16, 16)
