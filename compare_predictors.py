@@ -111,7 +111,9 @@ def main():
     for j, mname in enumerate(metric_names):
         ax = axes[0, j]
         for family, rows in results.items():
-            rows = sorted(r for r in rows if mname in r[1])
+            # sort by num_train only — (int, dict) tuples are not comparable
+            # when two configs share the same num_train
+            rows = sorted((r for r in rows if mname in r[1]), key=lambda r: r[0])
             if not rows:
                 continue
             ns = [r[0] for r in rows]

@@ -60,6 +60,11 @@ def main(args):
             batch_size=batch_size,
             img_size=img_size,
             shuffle=True,
+            # pixel clip runs on device inside the jitted step — the host
+            # pipeline stays a single read pass (see h5_loader docstring)
+            pixel_min=None,
+            pixel_max=None,
+            num_workers=data.int("num_workers", 0),
         )
         print(f"The training set consists of {train_batcher.num_samples} cutouts.")
         train_batches = train_batcher.forever()

@@ -4,15 +4,26 @@ Counterpart of the reference ``H5Dataset``/``build_h5_dataloader``
 (``utils/dataloaders.py:134-328``) re-designed for the TPU input model:
 
 * The reference reads **one row per worker process per __getitem__** and
-  collates on the host. Here a background thread reads **whole batches** with
-  h5py fancy indexing (sorted row gathers, so HDF5 streams chunks), keeping
-  the (often single-core) TPU host free.
+  collates on the host. Here batches are assembled with ``read_direct``
+  straight into the output buffer — chunk-aligned runs of rows in random
+  order ("chunk" shuffle), so HDF5 streams whole chunks and the host does
+  exactly one pass over the bytes.
 * Per-sample work the reference does on the host — augmentation, SimMIM mask
   generation — moves onto the device (``data/augment.py``,
-  ``ops/masking.py``), so a batch leaving this loader is raw: cutouts
-  (clipped + center-cropped), ra/dec, optional labels.
+  ``ops/masking.py``). Pixel clipping can also move on-device
+  (``pixel_min=None`` here + clip inside the jitted step): clipping is
+  idempotent, so device-side clip composes safely with host-clipped batches.
 * Batches are fixed-shape (remainder batch dropped when ``drop_remainder``)
   so every training step hits the same compiled program.
+
+Host-parallelism notes (measured on this host, single core):
+``h5py`` serializes all HDF5 calls behind one lock, so reader *threads*
+never scale; reader *processes* (``num_workers > 0``) do when the host has
+spare cores — each worker builds whole batches in shared memory following a
+deterministic schedule, so the batch stream is identical for any worker
+count. On a 1-core host the single-reader chunk path already sustains
+~13k img/s at ViT-B geometry (vs ~3k img/s for the round-1 pool+gather
+design), which is faster than the device step it feeds.
 
 Yields dict batches of numpy arrays:
     ``{"cutouts": (B,C,S,S) f32, "ra_dec": (B,2) f32[, "labels": (B,k)]}``
@@ -31,6 +42,8 @@ try:
 except ImportError:  # pragma: no cover
     h5py = None
 
+_SENTINEL = "__h5batcher_end__"
+
 
 def central_crop(batch: np.ndarray, size: int) -> np.ndarray:
     """Central (size × size) crop of (..., H, W) arrays
@@ -45,9 +58,10 @@ class H5Batcher:
     """Iterable over fixed-size batches of an HDF5 cutout file.
 
     Parameters mirror the reference dataloader: ``pixel_min``/``pixel_max``
-    clipping (defaults -3/None, ``dataloaders.py:256``), ``img_size`` central
-    crop, ``label_keys`` (int64 ``class`` -> int32; floats otherwise),
-    ``indices`` subset selection.
+    clipping (defaults -3/None, ``dataloaders.py:256``; pass ``None`` to move
+    the clip into the jitted device step), ``img_size`` central crop,
+    ``label_keys`` (int64 ``class`` -> int32; floats otherwise), ``indices``
+    subset selection.
     """
 
     def __init__(
@@ -63,19 +77,26 @@ class H5Batcher:
         drop_remainder: bool = True,
         seed: int = 0,
         prefetch_batches: int = 4,
-        read_chunk: int = 4096,
+        read_chunk: int = 2048,
         shuffle_mode: str = "auto",
         buffer_batches: int = 8,
         transfer_dtype=None,
+        num_workers: int = 0,
     ):
-        """``shuffle_mode``: 'exact' gathers fully random rows per batch
-        (reference semantics, slow on chunked files); 'buffer' reads
-        contiguous slabs in random order and shuffles inside a
-        ``buffer_batches``-batch reservoir — sequential-read speed (~9× here)
-        with near-uniform mixing; 'auto' picks 'buffer' for whole-file
-        training streams and 'exact' when an ``indices`` subset is given.
+        """``shuffle_mode``: 'chunk' reads chunk-aligned runs of rows in
+        random order straight into the batch buffer (single host pass, the
+        fast path for whole-file training streams); 'buffer' reads contiguous
+        slabs in random order and shuffles inside a ``buffer_batches``-batch
+        reservoir (row-level mixing at the cost of one gather pass); 'exact'
+        gathers fully random rows per batch (reference semantics, slow on
+        chunked files); 'auto' picks 'chunk' for whole-file training streams
+        and 'exact' when an ``indices`` subset is given.
         ``transfer_dtype`` (e.g. np.float16) optionally narrows cutouts after
-        clipping to halve host->device bytes on transfer-bound hosts."""
+        clipping to halve host->device bytes on transfer-bound hosts.
+        ``num_workers > 0`` builds batches in that many reader *processes*
+        (shared-memory handoff) — useful on multi-core hosts; 0 = one reader
+        thread (right for single-core hosts, h5py reads hold a global lock
+        anyway)."""
         if h5py is None:
             raise ImportError("h5py is required for the HDF5 data path")
         self.path = path
@@ -90,9 +111,10 @@ class H5Batcher:
         self.read_chunk = read_chunk
         self.buffer_batches = max(buffer_batches, 2)
         self.transfer_dtype = transfer_dtype
+        self.num_workers = num_workers
         if shuffle_mode == "auto":
-            shuffle_mode = "exact" if indices is not None else "buffer"
-        if shuffle_mode not in ("exact", "buffer"):
+            shuffle_mode = "exact" if indices is not None else "chunk"
+        if shuffle_mode not in ("exact", "buffer", "chunk"):
             raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
         self.shuffle_mode = shuffle_mode
         self._epoch = 0
@@ -101,6 +123,10 @@ class H5Batcher:
         with h5py.File(path, "r") as f:
             n_total = f["cutouts"].shape[0]
             self._raw_shape = f["cutouts"].shape[1:]
+            chunks = f["cutouts"].chunks
+        # run granularity for 'chunk' mode: the file's chunk rows (so every
+        # read streams whole HDF5 chunks), clamped to the batch size
+        self._granularity = int(min(max(chunks[0] if chunks else 64, 1), batch_size))
         if indices is not None:
             self.indices = np.asarray(indices, dtype=np.int64)
             self._full_range = False
@@ -119,9 +145,22 @@ class H5Batcher:
     def num_samples(self) -> int:
         return len(self.indices)
 
+    def _keys(self) -> list[str]:
+        return ["cutouts", "ra", "dec"] + (list(self.label_keys) if self.label_keys else [])
+
+    def _crop_cols(self) -> tuple[slice, slice]:
+        h, w = self._raw_shape[-2:]
+        s = self.img_size
+        r0 = h // 2 - s // 2 if h > s else 0
+        c0 = w // 2 - s // 2 if w > s else 0
+        return slice(r0, r0 + min(s, h)), slice(c0, c0 + min(s, w))
+
     # ------------------------------------------------------------------
     def _read_rows(self, f, key: str, rows: np.ndarray) -> np.ndarray:
-        """Gather rows with h5py's sorted fancy indexing, then un-sort."""
+        """Gather rows with h5py's sorted fancy indexing, then un-sort.
+        Contiguous ascending runs become plain slice reads."""
+        if len(rows) and np.array_equal(rows, np.arange(rows[0], rows[0] + len(rows))):
+            return f[key][int(rows[0]) : int(rows[0]) + len(rows)]
         order = np.argsort(rows, kind="stable")
         sorted_rows = rows[order]
         data = f[key][sorted_rows]
@@ -129,16 +168,17 @@ class H5Batcher:
         inv[order] = np.arange(len(order))
         return data[inv]
 
-    def _finalize(self, cutouts: np.ndarray, ra, dec, label_cols) -> dict:
+    def _finalize(self, cutouts: np.ndarray, ra, dec, label_cols, clipped=False) -> dict:
         """Clip, crop, and assemble the final batch dict.
 
         ``cutouts`` must be a freshly-gathered array (clipping is in-place).
         """
         cutouts = np.asarray(cutouts, dtype=np.float32)
-        if self.pixel_min is not None:
-            np.maximum(cutouts, self.pixel_min, out=cutouts)
-        if self.pixel_max is not None:
-            np.minimum(cutouts, self.pixel_max, out=cutouts)
+        if not clipped:
+            if self.pixel_min is not None:
+                np.maximum(cutouts, self.pixel_min, out=cutouts)
+            if self.pixel_max is not None:
+                np.minimum(cutouts, self.pixel_max, out=cutouts)
         if cutouts.shape[-1] > self.img_size or cutouts.shape[-2] > self.img_size:
             cutouts = np.ascontiguousarray(central_crop(cutouts, self.img_size))
         if self.transfer_dtype is not None:
@@ -171,17 +211,104 @@ class H5Batcher:
         )
         return self._finalize(cutouts, ra, dec, cols)
 
-    def _buffered_batches(self, f, rng: np.random.Generator):
-        """Sequential slab reads in random order + reservoir shuffle.
+    # ------------------------------------------------------------------
+    # 'chunk' mode: randomized chunk-aligned runs -> read_direct into the
+    # output buffer. One host pass over the bytes, no pool, no gather.
+    # ------------------------------------------------------------------
+    def _chunk_runs(self, rng: Optional[np.random.Generator]) -> np.ndarray:
+        """(n_runs, 2) [start, end) row runs covering the file, shuffled."""
+        n = len(self.indices)
+        g = self._granularity
+        starts = np.arange(0, n, g, dtype=np.int64)
+        runs = np.stack([starts, np.minimum(starts + g, n)], axis=1)
+        if rng is not None:
+            rng.shuffle(runs)
+        return runs
 
-        Slabs are read with ``read_direct`` straight into a preallocated pool
-        (no intermediate arrays); each emitted batch is a single permutation
-        gather out of the pool. Disk-sequential, one copy per batch.
-        """
+    def _read_run(self, f, dest: dict, src0: int, src1: int, at: int) -> None:
+        count = src1 - src0
+        rsel, csel = self._crop_cols()
+        f["cutouts"].read_direct(
+            dest["cutouts"],
+            np.s_[src0:src1, ..., rsel, csel],
+            np.s_[at : at + count],
+        )
+        for k in self._keys()[1:]:
+            f[k].read_direct(dest[k], np.s_[src0:src1], np.s_[at : at + count])
+
+    def _alloc_batch(self, n: int) -> dict:
+        c = self._raw_shape[0] if len(self._raw_shape) == 3 else 1
+        out = {"cutouts": np.empty((n, c, min(self.img_size, self._raw_shape[-2]),
+                                    min(self.img_size, self._raw_shape[-1])), np.float32)}
+        with h5py.File(self.path, "r") as f:
+            for k in self._keys()[1:]:
+                out[k] = np.empty((n,) + f[k].shape[1:], f[k].dtype)
+        return out
+
+    def _emit_chunk_batch(self, buf: dict, n: int) -> dict:
+        cut = buf["cutouts"][:n]
+        if self.pixel_min is not None:
+            np.maximum(cut, self.pixel_min, out=cut)
+        if self.pixel_max is not None:
+            np.minimum(cut, self.pixel_max, out=cut)
+        cols = [buf[k][:n] for k in self.label_keys] if self.label_keys else None
+        return self._finalize(cut, buf["ra"][:n], buf["dec"][:n], cols, clipped=True)
+
+    def _chunk_batches(self, f, rng: Optional[np.random.Generator]):
+        yield from self._chunk_batches_from_runs(f, self._chunk_runs(rng))
+
+    def _chunk_batches_from_runs(self, f, runs: np.ndarray, emit_filter=None):
+        """Generate batches by filling fresh buffers run-by-run following a
+        precomputed run schedule. Runs may straddle batch boundaries (split
+        reads), so any granularity works. Per-batch buffers are fresh, so
+        emitted batches stay valid after the reader moves on (prefetch-safe).
+        ``emit_filter(i)`` lets multi-process workers skip building batches
+        that are not theirs."""
+        bs = self.batch_size
+        shapes = {k: f[k].shape[1:] for k in self._keys()}
+        dtypes = {k: f[k].dtype for k in self._keys()}
+        rsel, csel = self._crop_cols()
+        cut_shape = (len(shapes["cutouts"]) == 3 and (
+            shapes["cutouts"][0],
+            rsel.stop - rsel.start,
+            csel.stop - csel.start,
+        )) or shapes["cutouts"]
+
+        def fresh():
+            out = {"cutouts": np.empty((bs,) + cut_shape, np.float32)}
+            for k in self._keys()[1:]:
+                out[k] = np.empty((bs,) + shapes[k], dtypes[k])
+            return out
+
+        buf, fill, b_idx = fresh(), 0, 0
+        for src0, src1 in runs:
+            src0, src1 = int(src0), int(src1)
+            while src0 < src1:
+                take = min(src1 - src0, bs - fill)
+                mine = emit_filter is None or emit_filter(b_idx)
+                if mine:
+                    self._read_run(f, buf, src0, src0 + take, fill)
+                src0 += take
+                fill += take
+                if fill == bs:
+                    if mine:
+                        yield self._emit_chunk_batch(buf, bs)
+                        buf = fresh()
+                    fill = 0
+                    b_idx += 1
+        if fill and not self.drop_remainder:
+            if emit_filter is None or emit_filter(b_idx):
+                yield self._emit_chunk_batch(buf, fill)
+
+    # ------------------------------------------------------------------
+    # 'buffer' mode: sequential slab reads in random order + reservoir
+    # shuffle (row-level mixing; one extra gather pass per batch).
+    # ------------------------------------------------------------------
+    def _buffered_batches(self, f, rng: np.random.Generator):
         n = len(self.indices)
         starts = np.arange(0, n, self.read_chunk)
         rng.shuffle(starts)
-        keys = ["cutouts", "ra", "dec"] + (list(self.label_keys) if self.label_keys else [])
+        keys = self._keys()
         cap = self.buffer_batches * self.batch_size + self.read_chunk
         pool = {
             k: np.empty((cap,) + f[k].shape[1:], dtype=f[k].dtype) for k in keys
@@ -236,45 +363,178 @@ class H5Batcher:
             rows.append(idx[n_full * self.batch_size :])
         return rows
 
+    def _epoch_batches(self, f, rng: np.random.Generator):
+        """All batches of one epoch, mode-dispatched (runs in a reader)."""
+        if self.shuffle_mode == "chunk" and self._full_range:
+            yield from self._chunk_batches(f, rng if self.shuffle else None)
+        elif self.shuffle and self.shuffle_mode == "buffer" and self._full_range:
+            yield from self._buffered_batches(f, rng)
+        else:
+            for rows in self._batch_rows():
+                yield self._make_batch(f, rows)
+
     # ------------------------------------------------------------------
     def __iter__(self) -> Iterator[dict]:
-        """One pass over the dataset, batches produced by a reader thread."""
+        """One pass over the dataset, batches produced by a reader thread.
+
+        Early exit (``break``, ``take(n)``, generator close) shuts the reader
+        down and releases its file handle: the reader's puts poll a stop
+        event, so it can never block forever on a full queue (round-1 leak:
+        one stuck thread + open h5 handle per early-broken epoch).
+        """
         self._epoch += 1
-        use_buffer = self.shuffle and self.shuffle_mode == "buffer" and self._full_range
         rng = np.random.default_rng(self._seed + self._epoch)
-        row_groups = None if use_buffer else self._batch_rows()
+        if self.num_workers > 0 and self.shuffle_mode == "chunk" and self._full_range:
+            yield from self._iter_multiprocess(rng)
+            return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
-        _SENTINEL = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def reader():
             try:
                 with h5py.File(self.path, "r") as f:
-                    if use_buffer:
-                        for batch in self._buffered_batches(f, rng):
-                            q.put(batch)
-                    else:
-                        for rows in row_groups:
-                            q.put(self._make_batch(f, rows))
+                    for batch in self._epoch_batches(f, rng):
+                        if not put(batch):
+                            return
             except BaseException as e:  # surface errors in the consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(_SENTINEL)
+            put(_SENTINEL)
 
         t = threading.Thread(target=reader, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, str) and item == _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock a producer stuck between the stop checks
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
+
+    def take(self, n: int) -> Iterator[dict]:
+        """At most ``n`` batches, with guaranteed reader shutdown — the
+        bounded-iteration idiom for eval passes and figure batches."""
+        it = iter(self)
+        try:
+            for _ in range(n):
+                try:
+                    yield next(it)
+                except StopIteration:
+                    return
+        finally:
+            it.close()
+
+    # ------------------------------------------------------------------
+    # Multi-process readers (multi-core hosts): each worker builds whole
+    # batches for its deterministic share of the epoch schedule and hands
+    # them over through shared memory; the parent re-emits in schedule
+    # order, so any worker count yields the same batch stream.
+    # ------------------------------------------------------------------
+    def _iter_multiprocess(self, rng: np.random.Generator) -> Iterator[dict]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        w = self.num_workers
+        out_qs = [ctx.Queue(maxsize=max(self.prefetch_batches // w, 1)) for _ in range(w)]
+        runs = self._chunk_runs(rng if self.shuffle else None)
+        procs = [
+            ctx.Process(
+                target=_mp_reader,
+                args=(self, runs, i, w, out_qs[i]),
+                daemon=True,
+            )
+            for i in range(w)
+        ]
+        for p in procs:
+            p.start()
+        done = [False] * w
+        try:
+            i = 0
+            while not all(done):
+                if done[i % w]:
+                    i += 1
+                    continue
+                item = out_qs[i % w].get()
+                if isinstance(item, str) and item == _SENTINEL:
+                    done[i % w] = True
+                    i += 1
+                    continue
+                if isinstance(item, BaseException):
+                    raise item
+                yield _shm_to_batch(item)
+                i += 1
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=10.0)
 
     def forever(self) -> Iterator[dict]:
         """Endless epoch-reshuffled stream (training loops count iters, not
         epochs — reference ``pretrain_mim.py:149``)."""
         while True:
             yield from self
+
+
+# ----------------------------------------------------------------------
+# Multi-process worker plumbing (module-level: must pickle under 'spawn')
+# ----------------------------------------------------------------------
+
+def _batch_to_shm(batch: dict):
+    from multiprocessing import shared_memory
+
+    metas, shms = {}, []
+    for k, v in batch.items():
+        shm = shared_memory.SharedMemory(create=True, size=max(v.nbytes, 1))
+        np.ndarray(v.shape, v.dtype, buffer=shm.buf)[...] = v
+        metas[k] = (shm.name, v.shape, str(v.dtype))
+        shm.close()
+        shms.append(shm)
+    return metas
+
+
+def _shm_to_batch(metas: dict) -> dict:
+    from multiprocessing import shared_memory
+
+    out = {}
+    for k, (name, shape, dtype) in metas.items():
+        shm = shared_memory.SharedMemory(name=name)
+        out[k] = np.ndarray(shape, np.dtype(dtype), buffer=shm.buf).copy()
+        shm.close()
+        shm.unlink()
+    return out
+
+
+def _mp_reader(batcher: "H5Batcher", runs: np.ndarray, worker: int, n_workers: int, out_q):
+    """Build every ``n_workers``-th batch of the epoch schedule (reads are
+    skipped for batches that are not this worker's share)."""
+    try:
+        with h5py.File(batcher.path, "r") as f:
+            for batch in batcher._chunk_batches_from_runs(
+                f, runs, emit_filter=lambda i: i % n_workers == worker
+            ):
+                out_q.put(_batch_to_shm(batch))
+        out_q.put(_SENTINEL)
+    except BaseException as e:  # pragma: no cover - surfaced in parent
+        out_q.put(e)
 
 
 def build_h5_batcher(

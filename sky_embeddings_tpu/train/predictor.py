@@ -81,11 +81,31 @@ def make_predictor_step(
     augment: bool,
     augment_params: dict,
     train: bool,
+    trainable=None,
+    pixel_min=None,
+    pixel_max=None,
 ):
-    """(state, cutouts, ra_dec, labels) -> (state, loss, metric)."""
+    """(state, cutouts, ra_dec, labels) -> (state, loss, metric).
+
+    ``trainable`` (optional boolean tree) marks which params the regime
+    updates; frozen subtrees are wrapped in ``stop_gradient`` so the backward
+    pass only extends as deep as the deepest trainable parameter — for the
+    'lp' regime XLA then dead-code-eliminates the whole backbone backward
+    (the reference pays full backward with frozen param groups,
+    ``vit.py:146-161``). ``pixel_min``/``pixel_max``: on-device pixel clip
+    (idempotent with host clipping)."""
     is_ce = "crossentropy" in loss_fn_name.lower()
 
     def compute(params, cutouts, ra_dec, labels, key):
+        if trainable is not None:
+            params = jax.tree_util.tree_map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p), params, trainable
+            )
+        if pixel_min is not None:
+            cutouts = jnp.maximum(cutouts, pixel_min)
+        if pixel_max is not None:
+            cutouts = jnp.minimum(cutouts, pixel_max)
+        cutouts = cutouts.astype(jnp.float32)
         if train and augment:
             key, k_aug = jax.random.split(key)
             cutouts = augment_batch(k_aug, cutouts, **augment_params)
@@ -206,6 +226,14 @@ class PredictorTrainer:
         self.batch_shard = batch_sharding(self.mesh)
         self.losses: dict = defaultdict(list)
 
+        trainable = None
+        if self.train_method in ("lp", "linearprobe"):
+            trainable = optim.trainable_mask(
+                params, self.train_method, self.model.global_pool
+            )
+        self.pixel_min = config.data.float("pixel_min", -3.0)
+        pm = config.data.str("pixel_max", "")
+        self.pixel_max = float(pm) if pm else None
         common = dict(
             model=self.model,
             tx=self.tx,
@@ -213,6 +241,9 @@ class PredictorTrainer:
             use_label_errs=self.use_label_errs,
             augment=self.augment,
             augment_params=self.augment_params,
+            trainable=trainable,
+            pixel_min=self.pixel_min,
+            pixel_max=self.pixel_max,
         )
         self._train_step = jax.jit(
             make_predictor_step(train=True, **common), donate_argnums=(0,)

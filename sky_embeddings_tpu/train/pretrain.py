@@ -36,17 +36,36 @@ from sky_embeddings_tpu.train.state import TrainState
 from sky_embeddings_tpu.utils import checkpoint as ckpt
 
 
-def make_mim_step(model: SkyMIM, tx, max_mask_ratio: Optional[float], train: bool):
-    """Build the (state, cutouts, ra_dec) -> (state, loss) step function.
+def make_mim_step(
+    model: SkyMIM,
+    tx,
+    max_mask_ratio: Optional[float],
+    train: bool,
+    pixel_min: Optional[float] = None,
+    pixel_max: Optional[float] = None,
+):
+    """Build the step function: ``(state, cutouts, ra_dec) -> (state, loss)``
+    when training, ``(state, cutouts, ra_dec, idx) -> (state, loss)`` in eval
+    (``idx`` = val-batch index, folded into the mask key so every val batch of
+    every eval pass draws a fresh mask — the reference draws masks loader-side,
+    ``pretrain_mim.py:174-187``).
 
     SimMIM masks are drawn on device per step; MAE token masking uses the
-    model's 'mask' rng stream. In eval mode the state is returned unchanged
-    (the reference computes val loss with the same masking distribution,
-    ``pretrain_mim.py:174-187``).
+    model's 'mask' rng stream. ``pixel_min``/``pixel_max`` apply the loader's
+    pixel clip on device (fused into the step; idempotent with host clipping,
+    so it is safe for batches that were already clipped).
     """
 
-    def step(state: TrainState, cutouts, ra_dec):
+    def step(state: TrainState, cutouts, ra_dec, idx=None):
         rng, k_mask, k_next = jax.random.split(state.rng, 3)
+        if not train and idx is not None:
+            # vary masks across val batches and across eval passes
+            k_mask = jax.random.fold_in(jax.random.fold_in(k_mask, idx), state.step)
+        if pixel_min is not None:
+            cutouts = jnp.maximum(cutouts, pixel_min)
+        if pixel_max is not None:
+            cutouts = jnp.minimum(cutouts, pixel_max)
+        cutouts = cutouts.astype(jnp.float32)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -114,6 +133,11 @@ class MIMPretrainer:
             self.max_mask_ratio = training.float("max_mask_ratio", 0.9)
         else:
             self.max_mask_ratio = None
+        # pixel clip applied on device inside the jitted step (idempotent
+        # with host-side clipping; lets the loader skip its clip pass)
+        self.pixel_min = config.data.float("pixel_min", -3.0)
+        pm = config.data.str("pixel_max", "")
+        self.pixel_max = float(pm) if pm else None
 
         self.schedule = cosine_annealing(init_lr, self.total_batch_iters, final_lr_factor)
 
@@ -149,12 +173,13 @@ class MIMPretrainer:
         self.state = jax.device_put(self.state, rep)
         self.batch_shard = batch_sharding(self.mesh)
 
+        clip = dict(pixel_min=self.pixel_min, pixel_max=self.pixel_max)
         self._train_step = jax.jit(
-            make_mim_step(self.model, self.tx, self.max_mask_ratio, train=True),
+            make_mim_step(self.model, self.tx, self.max_mask_ratio, train=True, **clip),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
-            make_mim_step(self.model, self.tx, self.max_mask_ratio, train=False)
+            make_mim_step(self.model, self.tx, self.max_mask_ratio, train=False, **clip)
         )
 
     # ------------------------------------------------------------------
@@ -171,8 +196,10 @@ class MIMPretrainer:
         )
         return loss
 
-    def eval_batch(self, batch: dict) -> jax.Array:
-        _, loss = self._eval_step(self.state, batch["cutouts"], batch["ra_dec"])
+    def eval_batch(self, batch: dict, idx: int = 0) -> jax.Array:
+        _, loss = self._eval_step(
+            self.state, batch["cutouts"], batch["ra_dec"], jnp.int32(idx)
+        )
         return loss
 
     # ------------------------------------------------------------------
@@ -251,10 +278,8 @@ def train_network(
             perf = timer.lap(loss)  # close the timing window before eval work
             # Validation pass (≤ max_val_batches, ref pretrain_mim.py:186-187)
             if val_batcher is not None:
-                for i, vbatch in enumerate(val_batcher):
-                    if i >= max_val_batches:
-                        break
-                    losses_cp["val_loss"].append(pretrainer.eval_batch(vbatch))
+                for i, vbatch in enumerate(val_batcher.take(max_val_batches)):
+                    losses_cp["val_loss"].append(pretrainer.eval_batch(vbatch, idx=i))
             if lp_class_data_file or lp_regress_data_file:
                 from sky_embeddings_tpu.eval.linear_probe import linear_probe
 
@@ -295,8 +320,9 @@ def train_network(
                 )
                 if val_batcher is not None and isinstance(pretrainer.model, SkyMIM):
                     from sky_embeddings_tpu.eval.eval_fns import mim_reconstruct
+                    from sky_embeddings_tpu.utils.plotting import plot_batch_tiled
 
-                    first = next(iter(val_batcher))
+                    first = next(val_batcher.take(1))
                     pred, masked, orig = mim_reconstruct(
                         pretrainer.model,
                         pretrainer.variables(),
@@ -308,6 +334,13 @@ def train_network(
                         orig, masked, pred, n_samples=5,
                         savename=os.path.join(fig_dir, f"{model_name}_{cur_iter}iters.png"),
                     )
+                    if orig.shape[-1] > 1:  # all-band mosaic (ref plot_batch_tiled)
+                        plot_batch_tiled(
+                            orig, masked, pred, n_samples=5,
+                            savename=os.path.join(
+                                fig_dir, f"{model_name}_{cur_iter}iters_tiled.png"
+                            ),
+                        )
 
         if (time.time() - cp_start) >= cp_time_minutes * 60:
             log_fn("Saving network...")

@@ -130,6 +130,148 @@ def plot_batch(
     return fig
 
 
+def tile_channels(image: np.ndarray, grid_size: Optional[tuple[int, int]] = None) -> np.ndarray:
+    """Tile a (C, H, W) image's channels into one 2D mosaic
+    (reference ``plotting_fns.py:203-238``)."""
+    c, h, w = image.shape
+    if grid_size is None:
+        rows = int(np.ceil(np.sqrt(c)))
+        cols = int(np.ceil(c / rows))
+    else:
+        rows, cols = grid_size
+    out = np.zeros((rows * h, cols * w), dtype=image.dtype)
+    for idx in range(min(c, rows * cols)):
+        r, col = divmod(idx, cols)
+        out[r * h : (r + 1) * h, col * w : (col + 1) * w] = image[idx]
+    return out
+
+
+@_needs_mpl
+def plot_batch_tiled(
+    orig_imgs: np.ndarray,
+    mask_imgs: np.ndarray,
+    pred_imgs: np.ndarray,
+    n_samples: int = 5,
+    savename: Optional[str] = None,
+):
+    """Original / masked / reconstruction triptychs with **all channels**
+    tiled into each panel (reference ``plotting_fns.py:239-280``).
+    Inputs are (B, H, W, C); channels are moved to the front for tiling."""
+    n = min(n_samples, orig_imgs.shape[0])
+    fig, axes = plt.subplots(n, 3, figsize=(10, n * 10 / 3), squeeze=False)
+    for i in range(n):
+        for j, (batch, title) in enumerate(
+            zip([orig_imgs, mask_imgs, pred_imgs], ["Original", "Masked Input", "Reconstruction"])
+        ):
+            tiled = tile_channels(np.moveaxis(batch[i], -1, 0))
+            ax = axes[i, j]
+            ax.imshow(tiled)
+            ax.axis("off")
+            if i == 0:
+                ax.set_title(title, fontsize=12)
+    fig.tight_layout()
+    if savename:
+        fig.savefig(savename, dpi=100)
+        plt.close(fig)
+    return fig
+
+
+@_needs_mpl
+def z_plots(
+    z_pred: np.ndarray,
+    z_true: np.ndarray,
+    n_bins: int = 8,
+    z_range: tuple[float, float] = (0.2, 1.6),
+    threshold: float = 0.1,
+    savename: Optional[str] = None,
+):
+    """Dedicated photo-z panel (reference ``plotting_fns.py:458-563``):
+    z distribution, normalized-residual hexbin annotated with global
+    bias/MAD/outlier-frac, then binned bias / MAD / outlier-fraction vs z."""
+    resid = (z_pred - z_true) / (1.0 + z_true)
+    bias, mad, fout = photoz_prediction_metrics(z_pred, z_true, threshold)
+    edges = np.linspace(z_range[0], z_range[1], n_bins + 1)
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    bin_stats = np.full((3, n_bins), np.nan)
+    for i in range(n_bins):
+        sel = (z_true >= edges[i]) & (z_true < edges[i + 1])
+        if sel.sum() > 2:
+            bin_stats[:, i] = photoz_prediction_metrics(z_pred[sel], z_true[sel], threshold)
+
+    fig, axes = plt.subplots(5, 1, figsize=(8, 12), sharex=True)
+    axes[0].hist(z_true, bins=100, range=z_range)
+    axes[0].set_ylabel("N")
+    hx = axes[1].hexbin(z_true, resid, gridsize=(100, 50), mincnt=1, cmap="viridis",
+                        extent=(z_range[0], z_range[1], -0.3, 0.3))
+    axes[1].axhline(0, lw=1, c="k", ls="--")
+    axes[1].annotate(f"bias={bias:.3f}, MAD={mad:.3f}, frac={fout:.3f}",
+                     (0.55, 0.85), xycoords="axes fraction",
+                     bbox=dict(boxstyle="square,pad=0.3", fc="w", ec="k"))
+    axes[1].set_ylabel("Normalized\nresidual")
+    fig.colorbar(hx, ax=axes[1], pad=0.01)
+    for ax, vals, name in zip(axes[2:], bin_stats, ["Bias", "MAD", "Outlier\nfraction"]):
+        ax.plot(mids, vals, "o--")
+        ax.set_ylabel(name)
+        if name == "Bias":
+            ax.axhline(0, lw=1, c="k", ls="--")
+    axes[-1].set_xlabel("Spectroscopic redshift")
+    for ax in axes:
+        ax.set_xlim(*z_range)
+        ax.grid(alpha=0.2)
+    fig.tight_layout()
+    if savename:
+        fig.savefig(savename, dpi=100)
+        plt.close(fig)
+    return mids, bin_stats
+
+
+@_needs_mpl
+def snr_plots(
+    z_pred: np.ndarray,
+    z_true: np.ndarray,
+    snr: np.ndarray,
+    n_bins: int = 8,
+    snr_lim: tuple[float, float] = (5.0, 25.0),
+    threshold: float = 0.15,
+    seed: int = 0,
+    savename: Optional[str] = None,
+):
+    """Photo-z quality vs signal-to-noise (reference ``plotting_fns.py:565-650``):
+    truth/prediction scatter colored by S/N, then bias / MAD / outlier-fraction
+    in equal-count S/N bins (each bin subsampled to the smallest bin's size so
+    the metrics are comparable across bins)."""
+    edges = np.linspace(snr_lim[0], snr_lim[1], n_bins + 1)
+    mids = 0.5 * (edges[:-1] + edges[1:])
+    bins = [np.where((snr >= edges[i]) & (snr < edges[i + 1]))[0] for i in range(n_bins)]
+    n_per = min((len(b) for b in bins), default=0)
+    rng = np.random.default_rng(seed)
+    bin_stats = np.full((3, n_bins), np.nan)
+    if n_per > 2:
+        for i, b in enumerate(bins):
+            sel = rng.choice(b, size=n_per, replace=False)
+            bin_stats[:, i] = photoz_prediction_metrics(z_pred[sel], z_true[sel], threshold)
+
+    fig, axes = plt.subplots(4, 1, figsize=(8, 11))
+    sc = axes[0].scatter(z_true, z_pred, c=snr, s=3, vmin=0, vmax=snr_lim[1], cmap="viridis")
+    axes[0].plot([0, 2], [0, 2], lw=1, c="k", ls="--")
+    axes[0].set_xlim(0, 2), axes[0].set_ylim(0, 2)
+    axes[0].set_xlabel("Spectroscopic redshift"), axes[0].set_ylabel("Predicted redshift")
+    fig.colorbar(sc, ax=axes[0], pad=0.01, label="S/N")
+    for ax, vals, name in zip(axes[1:], bin_stats, ["Bias", "MAD", "Outlier\nfraction"]):
+        ax.plot(mids, vals, "o--")
+        ax.set_ylabel(name)
+        ax.set_xlim(snr_lim)
+        ax.grid(alpha=0.2)
+        if name == "Bias":
+            ax.axhline(0, lw=1, c="k", ls="--")
+    axes[-1].set_xlabel("Signal-to-noise")
+    fig.tight_layout()
+    if savename:
+        fig.savefig(savename, dpi=100)
+        plt.close(fig)
+    return mids, bin_stats
+
+
 @_needs_mpl
 def display_images(
     images: np.ndarray,

@@ -25,6 +25,8 @@ from sky_embeddings_tpu.utils.plotting import (
     plot_conf_mat,
     plot_progress,
     plot_resid_hexbin,
+    snr_plots,
+    z_plots,
 )
 
 
@@ -90,6 +92,15 @@ def main(args):
             z_pred, z_true, n_bins=8, z_range=(0.2, 1.6), threshold=0.1,
             snr=snr_min[keep],
             savename=os.path.join(fig_dir, f"{model_name}_redshift_metrics.png"),
+        )
+        # Dedicated multi-panel layouts (reference plotting_fns.py:458-650)
+        z_plots(
+            z_pred, z_true, n_bins=8, z_range=(0.2, 1.6), threshold=0.1,
+            savename=os.path.join(fig_dir, f"{model_name}_redshift.png"),
+        )
+        snr_plots(
+            z_pred, z_true, snr_min[keep],
+            savename=os.path.join(fig_dir, f"{model_name}_redshift_snr.png"),
         )
     else:
         y_pred = np.argmax(preds, axis=1)

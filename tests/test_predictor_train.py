@@ -176,3 +176,26 @@ def test_predictor_infer(data_files):
     assert targets.shape == (24, 1)
     assert preds.shape == (24, 1)
     assert np.isfinite(preds).all()
+
+
+def test_lp_regime_skips_backbone_backward(data_files):
+    """Round-2 fix: frozen subtrees are stop_gradient'ed, so the lp train
+    step's compiled FLOPs are close to eval (forward-only) cost instead of
+    the full forward+backward the ft regime pays."""
+
+    def step_flops(trainer):
+        args = (
+            trainer.state,
+            jnp.zeros((8, 3, 16, 16), jnp.float32),
+            jnp.zeros((8, 2), jnp.float32),
+            jnp.zeros((8, 1), jnp.float32),
+        )
+        comp = trainer._train_step.lower(*args).compile()
+        (analysis,) = [comp.cost_analysis()] if isinstance(
+            comp.cost_analysis(), dict
+        ) else [comp.cost_analysis()[0]]
+        return analysis["flops"]
+
+    lp = PredictorTrainer(predictor_config(train_method="lp"), mim_config())
+    ft = PredictorTrainer(predictor_config(train_method="ft"), mim_config())
+    assert step_flops(lp) < 0.6 * step_flops(ft)

@@ -197,3 +197,21 @@ def test_ft_compat_lr_quirk():
     # compat: base lr == weight_decay (0.01); fixed: base lr == init_lr (1e-6)
     assert 0.001 < up_compat < 0.02
     assert up_fixed < 1e-5
+
+
+def test_val_masks_vary_across_batches_and_passes(data_files):
+    """Round-2 fix: eval folds the val-batch index and the training step into
+    the mask key, so val loss averages over mask draws (the round-1 eval step
+    reused one frozen draw for every val batch of the entire run)."""
+    train, val, d = data_files
+    pre = MIMPretrainer(tiny_config())
+    batcher = build_h5_batcher(val, batch_size=8, img_size=16, shuffle=False)
+    batch = next(iter(batcher))
+    l0 = float(pre.eval_batch(batch, idx=0))
+    l1 = float(pre.eval_batch(batch, idx=1))
+    l0_again = float(pre.eval_batch(batch, idx=0))
+    assert l0 != l1          # different batch index -> different mask
+    assert l0 == l0_again    # deterministic given (state, idx)
+    # after a train step the state advances -> a new eval pass redraws
+    pre.train_batch(batch)
+    assert float(pre.eval_batch(batch, idx=0)) != l0

@@ -81,6 +81,9 @@ def main(args):
     train_batcher = build_h5_batcher(
         train_file, batch_size=batch_size, img_size=img_size,
         label_keys=label_keys, shuffle=True, indices=indices,
+        # clip runs on device in the jitted step (see h5_loader docstring)
+        pixel_min=None, pixel_max=None,
+        num_workers=data.int("num_workers", 0),
     )
     print(f"The training set consists of {train_batcher.num_samples} cutouts.")
     val_batcher = build_h5_batcher(
