@@ -201,8 +201,53 @@ class MlpBlock(nn.Module):
         return xla_mlp_block(xc, scale, bias, w1c, b1, w2c, b2)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder producing the same tree paths as ``nn.LayerNorm``."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _LinearParams(nn.Module):
+    """Parameter holder producing the same tree paths as ``nn.Dense``."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", xavier_uniform, (self.din, self.dout), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dout,), jnp.float32)
+        return kernel, bias
+
+
+class _AttnParams(nn.Module):
+    """qkv + proj parameters under the same paths as the ``Attention`` module."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _LinearParams(self.dim, 3 * self.dim, name="qkv")()
+        wproj, bproj = _LinearParams(self.dim, self.dim, name="proj")()
+        return wqkv, bqkv, wproj, bproj
+
+
 class Block(nn.Module):
-    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
+    """Pre-norm transformer block: x + attn(ln(x)); x + mlp(ln(x)).
+
+    Both halves dispatch to fused Pallas kernels on TPU (bf16): the attention
+    sub-block (``ops/kernels/attn_block.py``, recompute backward — only ``x``
+    is saved per layer) and the MLP sub-block (``ops/kernels/mlp_block.py``).
+    Parameters are declared under the classic ``norm1``/``attn/{qkv,proj}``
+    paths so checkpoints, the torch porter and the sharding rules are
+    layout-independent of the kernel dispatch.
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -210,9 +255,31 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        D = x.shape[-1]
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        from sky_embeddings_tpu.ops.kernels.attn_block import (
+            fused_attn_block,
+            xla_attn_block,
+        )
+
+        B, N, D = x.shape
+        scale, bias = _LNParams(D, name="norm1")()
+        wqkv, bqkv, wproj, bproj = _AttnParams(D, name="attn")()
+        xc = x.astype(self.dtype)
+        args = (
+            xc, scale, bias,
+            wqkv.astype(self.dtype), bqkv,
+            wproj.astype(self.dtype), bproj,
+        )
+        if (
+            jax.default_backend() == "tpu"
+            and self.dtype == jnp.bfloat16
+            and B % 16 == 0
+            and D % 128 == 0
+            and N <= 256
+            and D % self.num_heads == 0
+        ):
+            x = fused_attn_block(*args, self.num_heads)
+        else:
+            x = xla_attn_block(*args, self.num_heads)
         return MlpBlock(int(D * self.mlp_ratio), dtype=self.dtype, name="ffn")(x)
 
 

@@ -158,6 +158,7 @@ class SkyMIM(nn.Module):
         ra_dec: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
         apply_mae_masking: bool = False,
+        mae_noise: Optional[jnp.ndarray] = None,
     ):
         """Tokenize + run the encoder stack.
 
@@ -178,7 +179,8 @@ class SkyMIM(nn.Module):
 
         mae_mask = ids_restore = None
         if not self.simmim and apply_mae_masking:
-            masked = mae_random_masking(self.make_rng("mask"), tokens, self.mask_ratio)
+            key = None if mae_noise is not None else self.make_rng("mask")
+            masked = mae_random_masking(key, tokens, self.mask_ratio, noise=mae_noise)
             tokens, mae_mask, ids_restore = masked
 
         prefix = []
@@ -251,15 +253,18 @@ class SkyMIM(nn.Module):
         imgs: jnp.ndarray,
         ra_dec: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
+        mae_noise: Optional[jnp.ndarray] = None,
     ):
         """Full forward: returns ``(loss, pred, mask)``.
 
         SimMIM: ``mask`` is the (B, C, H, W) pixel mask. MAE: ``mask`` is
-        ignored; token masking is drawn from the ``'mask'`` rng stream and the
-        returned mask is the (B, L) token mask.
+        ignored; token masking is drawn from the ``'mask'`` rng stream (or
+        the injected ``mae_noise``) and the returned mask is the (B, L)
+        token mask.
         """
         tokens, mae_mask, ids_restore = self.encode(
-            imgs, ra_dec=ra_dec, mask=mask, apply_mae_masking=not self.simmim
+            imgs, ra_dec=ra_dec, mask=mask,
+            apply_mae_masking=not self.simmim, mae_noise=mae_noise,
         )
         pred = self.decode(tokens, ids_restore)
         out_mask = mask if self.simmim else mae_mask

@@ -1,0 +1,337 @@
+"""Fused attention block kernel: LN → qkv → attention → proj → residual.
+
+Round-1 profiling showed the attention *backward* dominating the train step
+(~12.6 ms/layer at ViT-B B=1024) and its custom-vjp stashing the fused qkv
+activations (~3.7 GB at B=1024 bf16), capping the batch size. This kernel
+fuses the whole pre-norm attention sub-block
+
+    out = x + W_proj · attn(W_qkv · LN(x))
+
+into one Pallas call per direction, with a **recompute backward**: the only
+residual saved between forward and backward is ``x`` itself ((B, N, D) bf16 —
+26× smaller than the round-1 qkv stash per layer). The backward re-derives
+LN, qkv and the softmax probabilities in VMEM from ``x`` — the recompute is
+two large MXU matmuls plus the small per-head attention math, far cheaper
+than the HBM round-trips it replaces.
+
+Layout notes (same reasoning as ``attention.py``):
+* sequences are short (≤ ~70 tokens), so a (batch-tile, ·) slab of every
+  intermediate fits VMEM;
+* heads are unrolled in a static loop and sliced on the feature (lane) axis —
+  no reshapes/transposes across tiled dims;
+* LN statistics, softmax, bias adds and all matmul accumulations are fp32;
+  matmul operands are the input dtype (bf16 in the training configs);
+* parameter gradients accumulate across the (sequential) grid in fp32
+  outputs with constant index maps, initialized at step 0.
+
+Reference semantics: pre-norm timm ``Block.attn`` (``mim_vit.py:422-423``
+uses timm blocks; qkv bias on, no qk-norm, proj bias on).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_BLOCK_B_FWD = 32
+DEFAULT_BLOCK_B_BWD = 16
+
+
+def _ln_forward(x2: jnp.ndarray, scale, bias, eps=1e-6):
+    mu = x2.mean(axis=-1, keepdims=True)
+    var = ((x2 - mu) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x2 - mu) * rstd
+    return xhat * scale + bias, xhat, rstd
+
+
+def _heads_forward(qkv3, num_heads: int, head_dim: int, out_dtype):
+    """(TB, N, 3D) qkv activations -> (TB, N, D) context, fp32 softmax."""
+    D = num_heads * head_dim
+    scale = head_dim ** -0.5
+    ctx_parts = []
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv3[:, :, lo : lo + head_dim]
+        k = qkv3[:, :, D + lo : D + lo + head_dim]
+        v = qkv3[:, :, 2 * D + lo : 2 * D + lo + head_dim]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=((((2,), (2,))), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(logits * scale, axis=-1)
+        ctx = jax.lax.dot_general(
+            probs.astype(qkv3.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ctx_parts.append(ctx.astype(out_dtype))
+    return jnp.concatenate(ctx_parts, axis=-1)
+
+
+def _fwd_kernel(
+    x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
+    *, num_heads: int,
+):
+    TB, N, D = x_ref.shape
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    y, _, _ = _ln_forward(x2, scale_ref[0], bias_ref[0])
+    y_c = y.astype(wqkv_ref.dtype)
+    qkv = (
+        jnp.dot(y_c, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[0]
+    )
+    qkv3 = qkv.reshape(TB, N, 3 * D).astype(wqkv_ref.dtype)
+    ctx = _heads_forward(qkv3, num_heads, D // num_heads, wproj_ref.dtype)
+    ctx2 = ctx.reshape(TB * N, D)
+    out = (
+        jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
+    )
+    out_ref[:] = (x2 + out).reshape(TB, N, D).astype(out_ref.dtype)
+
+
+def _bwd_kernel(
+    x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, g_ref,
+    dx_ref, dscale_ref, dbias_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+    *, num_heads: int,
+):
+    from jax.experimental import pallas as pl
+
+    TB, N, D = x_ref.shape
+    hd = D // num_heads
+    attn_scale = hd ** -0.5
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    g2 = g_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    scale = scale_ref[0]
+
+    # ---- recompute forward intermediates ----
+    y, xhat, rstd = _ln_forward(x2, scale, bias_ref[0])
+    y_c = y.astype(wqkv_ref.dtype)
+    qkv = jnp.dot(y_c, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv3 = qkv.reshape(TB, N, 3 * D).astype(wqkv_ref.dtype)
+
+    g_c = g2.astype(wproj_ref.dtype)
+    dctx = jnp.dot(g_c, wproj_ref[:].T, preferred_element_type=jnp.float32)
+    dctx3 = dctx.reshape(TB, N, D)
+
+    # ---- per-head attention forward recompute + backward ----
+    bd = lambda a, b, contract, batch=((0,), (0,)): jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, batch), preferred_element_type=jnp.float32
+    )
+    ctx_parts, dqkv_parts = [], [None] * (3 * num_heads)
+    for h in range(num_heads):
+        lo = h * hd
+        q = qkv3[:, :, lo : lo + hd]
+        k = qkv3[:, :, D + lo : D + lo + hd]
+        v = qkv3[:, :, 2 * D + lo : 2 * D + lo + hd]
+        logits = bd(q, k, ((2,), (2,)))
+        probs = jax.nn.softmax(logits * attn_scale, axis=-1)  # (TB, N, N) fp32
+        probs_c = probs.astype(v.dtype)
+
+        ctx_parts.append(bd(probs_c, v, ((2,), (1,))).astype(v.dtype))
+
+        dc = dctx3[:, :, lo : lo + hd].astype(v.dtype)
+        dv = bd(probs_c, dc, ((1,), (1,)))                    # (TB, N, hd)
+        dp = bd(dc, v, ((2,), (2,)))                          # (TB, N, N)
+        tmp = dp * probs
+        ds = (tmp - probs * tmp.sum(axis=-1, keepdims=True)) * attn_scale
+        ds_c = ds.astype(q.dtype)
+        dqkv_parts[h] = bd(ds_c, k, ((2,), (1,)))             # dq
+        dqkv_parts[num_heads + h] = bd(ds_c, q, ((1,), (1,)))  # dk
+        dqkv_parts[2 * num_heads + h] = dv
+
+    ctx2 = jnp.concatenate(ctx_parts, axis=-1).reshape(TB * N, D)
+    dqkv = jnp.concatenate(dqkv_parts, axis=-1).reshape(TB * N, 3 * D)
+    dqkv_c = dqkv.astype(wqkv_ref.dtype)
+
+    dy = jnp.dot(dqkv_c, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+
+    # ---- LayerNorm backward ----
+    dxhat = dy * scale
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = (g2 + dx_ln).reshape(TB, N, D).astype(dx_ref.dtype)
+
+    # ---- parameter gradients, accumulated across the sequential grid ----
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+    dscale_ref[0] += (dy * xhat).sum(axis=0)
+    dbias_ref[0] += dy.sum(axis=0)
+    dwqkv_ref[:] += jnp.dot(y_c.T, dqkv_c, preferred_element_type=jnp.float32)
+    dbqkv_ref[0] += dqkv.sum(axis=0)
+    dwproj_ref[:] += jnp.dot(ctx2.T, g_c, preferred_element_type=jnp.float32)
+    dbproj_ref[0] += g2.sum(axis=0)
+
+
+def _pick_block(b: int, cap: int) -> int:
+    tb = 8
+    while tb * 2 <= cap and b % (tb * 2) == 0:
+        tb *= 2
+    return min(tb, b)
+
+
+def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = x.shape
+    tb = _pick_block(B, block_b)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        )
+    row = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, num_heads=num_heads),
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(x, scale, bias, wqkv, bqkv, wproj, bproj)
+
+
+def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = x.shape
+    tb = _pick_block(B, block_b)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        )
+    row = lambda i: (0, 0)
+    outs = (
+        jax.ShapeDtypeStruct((B, N, D), x.dtype),        # dx
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dscale
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbias
+        jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),   # dwqkv
+        jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),   # dbqkv
+        jax.ShapeDtypeStruct((D, D), jnp.float32),       # dwproj
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbproj
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, num_heads=num_heads),
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=outs,
+        interpret=interpret,
+        **kwargs,
+    )(x, scale, bias, wqkv, bqkv, wproj, bproj, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_attn_block(
+    x, scale, bias, wqkv, bqkv, wproj, bproj,
+    num_heads: int,
+    block_b_fwd: int = DEFAULT_BLOCK_B_FWD,
+    block_b_bwd: int = DEFAULT_BLOCK_B_BWD,
+    interpret: bool = False,
+):
+    """x + proj(attn(qkv(LN(x)))) with everything resident in VMEM per tile.
+
+    Shapes: x (B, N, D); scale/bias (D,) fp32; wqkv (D, 3D); bqkv (3D,);
+    wproj (D, D); bproj (D,). Weights should be pre-cast to the activation
+    dtype. Returns (B, N, D) in x's dtype. The backward saves only ``x``.
+    """
+    return _pallas_fwd(
+        x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
+        bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
+        num_heads, block_b_fwd, interpret,
+    )
+
+
+def _fab_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj,
+             num_heads, block_b_fwd, block_b_bwd, interpret):
+    out = fused_attn_block(
+        x, scale, bias, wqkv, bqkv, wproj, bproj,
+        num_heads, block_b_fwd, block_b_bwd, interpret,
+    )
+    return out, (x, scale, bias, wqkv, bqkv, wproj, bproj)
+
+
+def _fab_bwd(num_heads, block_b_fwd, block_b_bwd, interpret, res, g):
+    x, scale, bias, wqkv, bqkv, wproj, bproj = res
+    dx, dscale, dbias, dwqkv, dbqkv, dwproj, dbproj = _pallas_bwd(
+        x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
+        bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1), g,
+        num_heads, block_b_bwd, interpret,
+    )
+    return (
+        dx,
+        dscale[0].astype(scale.dtype),
+        dbias[0].astype(bias.dtype),
+        dwqkv.astype(wqkv.dtype),
+        dbqkv[0].astype(bqkv.dtype),
+        dwproj.astype(wproj.dtype),
+        dbproj[0].astype(bproj.dtype),
+    )
+
+
+fused_attn_block.defvjp(_fab_fwd, _fab_bwd)
+
+
+def xla_attn_block(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads: int):
+    """Reference formulation (CPU fallback + parity oracle). Matches the
+    kernel's numerics: fp32 LN/softmax/bias adds, operand-dtype matmuls,
+    fp32 accumulation."""
+    B, N, D = x.shape
+    hd = D // num_heads
+    x2 = x.astype(jnp.float32)
+    mu = x2.mean(axis=-1, keepdims=True)
+    var = ((x2 - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (x2 - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+    y_c = y.astype(wqkv.dtype)
+    qkv = jnp.dot(y_c, wqkv, preferred_element_type=jnp.float32) + bqkv
+    qkv5 = qkv.reshape(B, N, 3, num_heads, hd).astype(wqkv.dtype)
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * hd ** -0.5, axis=-1)
+    ctx = jnp.einsum(
+        "bhnm,bmhd->bnhd", probs.astype(wqkv.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    ctx2 = ctx.reshape(B * N, D).astype(wproj.dtype)
+    out = jnp.dot(ctx2, wproj, preferred_element_type=jnp.float32) + bproj
+    return (x2.reshape(B * N, D) + out).reshape(B, N, D).astype(x.dtype)

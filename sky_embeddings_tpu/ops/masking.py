@@ -72,16 +72,21 @@ class MaeMasking(NamedTuple):
     ids_restore: jnp.ndarray  # (B, L) — inverse shuffle permutation
 
 
-def mae_random_masking(key: jax.Array, tokens: jnp.ndarray, mask_ratio: float) -> MaeMasking:
+def mae_random_masking(
+    key: jax.Array, tokens: jnp.ndarray, mask_ratio: float, noise=None
+) -> MaeMasking:
     """Per-sample random shuffle-and-keep with a static keep count.
 
     ``len_keep = int(L · (1 - mask_ratio))`` is a Python int, so the output
     shapes are static under jit. Matches reference ``mim_vit.py:354-379``.
+    ``noise`` optionally injects the (B, L) shuffle noise (golden-parity
+    tests share one draw between frameworks); default draws from ``key``.
     """
     B, L, D = tokens.shape
     len_keep = int(L * (1.0 - mask_ratio))
 
-    noise = jax.random.uniform(key, (B, L))
+    if noise is None:
+        noise = jax.random.uniform(key, (B, L))
     ids_shuffle = jnp.argsort(noise, axis=1)
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
 

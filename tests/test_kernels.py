@@ -114,3 +114,91 @@ def test_gelu_approximation_accuracy():
     np.testing.assert_allclose(np.asarray(_gelu(x)), np.asarray(want), atol=2e-6)
     want_grad = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x)
     np.testing.assert_allclose(np.asarray(_gelu_grad(x)), np.asarray(want_grad), atol=5e-6)
+
+
+# ----------------------------------------------------------------------
+# Fused attention block (LN -> qkv -> attention -> proj -> residual)
+# ----------------------------------------------------------------------
+
+def _attn_block_inputs(B=8, N=17, D=48, seed=3):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=D).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.normal(size=D).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.08)
+    bqkv = jnp.asarray(0.01 * rng.normal(size=3 * D).astype(np.float32))
+    wproj = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.08)
+    bproj = jnp.asarray(0.01 * rng.normal(size=D).astype(np.float32))
+    return x, scale, bias, wqkv, bqkv, wproj, bproj
+
+
+def test_fused_attn_block_forward_parity():
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    args = _attn_block_inputs()
+    out_k = fused_attn_block(*args, 4, 4, 4, True)
+    out_x = xla_attn_block(*args, 4)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
+
+
+def test_fused_attn_block_backward_parity():
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    args = _attn_block_inputs()
+    # non-uniform cotangent so dx/dW are all exercised
+    g = jnp.asarray(
+        np.random.default_rng(4).normal(size=args[0].shape).astype(np.float32)
+    )
+
+    def loss_k(*a):
+        return (fused_attn_block(*a, 4, 4, 4, True) * g).sum()
+
+    def loss_x(*a):
+        return (xla_attn_block(*a, 4) * g).sum()
+
+    grads_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    grads_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    names = ["x", "scale", "bias", "wqkv", "bqkv", "wproj", "bproj"]
+    for name, gk, gx in zip(names, grads_k, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_block_module_parity_with_unfused_reference():
+    """The Block module (CPU -> xla_attn_block path) must match an explicit
+    LN/attention composition numerically, and keep the classic param tree."""
+    from sky_embeddings_tpu.models.layers import Attention, Block
+
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(2, 10, 32)).astype(np.float32))
+    block = Block(num_heads=4)
+    params = block.init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params) == {"norm1", "attn", "ffn"}
+    assert set(params["attn"]) == {"qkv", "proj"}
+    assert params["attn"]["qkv"]["kernel"].shape == (32, 96)
+
+    # reference composition with the same parameters
+    attn = Attention(num_heads=4)
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+    y = y * params["norm1"]["scale"] + params["norm1"]["bias"]
+    mid = x32 + attn.apply({"params": params["attn"]}, y)
+
+    out = block.apply({"params": params}, x)
+    from sky_embeddings_tpu.ops.kernels.mlp_block import xla_mlp_block
+
+    ffn = params["ffn"]
+    want = xla_mlp_block(
+        mid, ffn["norm_scale"], ffn["norm_bias"], ffn["fc1_kernel"],
+        ffn["fc1_bias"], ffn["fc2_kernel"], ffn["fc2_bias"],
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
