@@ -21,12 +21,17 @@ import jax
 
 from sky_embeddings_tpu.configuration import load_config
 from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+from sky_embeddings_tpu.parallel import distributed
 from sky_embeddings_tpu.train.pretrain import MIMPretrainer, train_network
 from sky_embeddings_tpu.utils.checkpoint import checkpoint_path
 from sky_embeddings_tpu.utils.misc import build_train_argparser
 
 
 def main(args):
+    # Multi-host runs (one process per TPU host): opt-in via SKY_DISTRIBUTED=1
+    # (set by the gcloud --worker=all launcher, cluster/queue_tpu.py).
+    distributed.initialize_from_env()
+    n_proc, proc_id = distributed.process_count(), distributed.process_index()
     cur_dir = os.path.dirname(os.path.abspath(__file__))
     config_dir = os.path.join(cur_dir, "configs")
     model_dir = os.path.join(cur_dir, "models")
@@ -53,11 +58,14 @@ def main(args):
     data = config.data
     batch_size = training.int("batch_size")
     img_size = config.architecture.int("img_size")
+    if batch_size % n_proc:
+        raise SystemExit(f"batch_size {batch_size} not divisible by {n_proc} processes")
+    local_bs = batch_size // n_proc  # each process feeds its shard
 
     if "train_data_file" in data:
         train_batcher = build_h5_batcher(
             os.path.join(data_dir, data.str("train_data_file")),
-            batch_size=batch_size,
+            batch_size=local_bs,
             img_size=img_size,
             shuffle=True,
             # pixel clip runs on device inside the jitted step — the host
@@ -65,6 +73,8 @@ def main(args):
             pixel_min=None,
             pixel_max=None,
             num_workers=data.int("num_workers", 0),
+            process_count=n_proc,
+            process_index=proc_id,
         )
         print(f"The training set consists of {train_batcher.num_samples} cutouts.")
         train_batches = train_batcher.forever()
@@ -86,9 +96,11 @@ def main(args):
 
     val_batcher = build_h5_batcher(
         os.path.join(data_dir, data.str("val_data_file")),
-        batch_size=batch_size,
+        batch_size=local_bs,
         img_size=img_size,
         shuffle=True,
+        process_count=n_proc,
+        process_index=proc_id,
     )
 
     lp_class = (
@@ -110,10 +122,11 @@ def main(args):
         args.verbose_iters,
         args.cp_time,
         model_filename,
-        fig_dir=fig_dir,
+        fig_dir=fig_dir if distributed.is_main() else None,
         lp_class_data_file=lp_class,
         lp_regress_data_file=lp_regress,
         lp_combine=data.str("lp_combine", "central"),
+        log_fn=print if distributed.is_main() else (lambda *_: None),
     )
 
 

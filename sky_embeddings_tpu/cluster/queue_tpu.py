@@ -104,7 +104,10 @@ gcloud compute tpus tpu-vm create $TPU_NAME --zone=$ZONE \\
   --accelerator-type={spec.accelerator} --version={acc["runtime"]} || true
 for RUN in $(seq 1 {spec.num_runs}); do
   echo "=== chained run $RUN/{spec.num_runs} ==="
-  gcloud compute tpus tpu-vm ssh $TPU_NAME --zone=$ZONE --command "bash -s" < {script}
+  # --worker=all runs one process per host; SKY_DISTRIBUTED turns on
+  # jax.distributed (TPU VMs autodetect the coordinator/peer set)
+  gcloud compute tpus tpu-vm ssh $TPU_NAME --zone=$ZONE --worker=all \\
+    --command "export SKY_DISTRIBUTED=1; bash -s" < {script}
 done
 """
         with open(driver, "w") as f:

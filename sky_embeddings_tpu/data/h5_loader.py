@@ -82,6 +82,8 @@ class H5Batcher:
         buffer_batches: int = 8,
         transfer_dtype=None,
         num_workers: int = 0,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
         """``shuffle_mode``: 'chunk' reads chunk-aligned runs of rows in
         random order straight into the batch buffer (single host pass, the
@@ -96,7 +98,12 @@ class H5Batcher:
         ``num_workers > 0`` builds batches in that many reader *processes*
         (shared-memory handoff) — useful on multi-core hosts; 0 = one reader
         thread (right for single-core hosts, h5py reads hold a global lock
-        anyway)."""
+        anyway).
+        ``process_count``/``process_index``: multi-host data sharding — this
+        loader yields a disjoint 1/process_count share of the data (chunk
+        runs / slabs / indices, by mode), with ``batch_size`` meaning the
+        *per-process* batch size; seeds are shared so every process draws
+        the same schedule and takes its own stride of it."""
         if h5py is None:
             raise ImportError("h5py is required for the HDF5 data path")
         self.path = path
@@ -117,6 +124,8 @@ class H5Batcher:
         if shuffle_mode not in ("exact", "buffer", "chunk"):
             raise ValueError(f"unknown shuffle_mode {shuffle_mode!r}")
         self.shuffle_mode = shuffle_mode
+        self.process_count = max(int(process_count), 1)
+        self.process_index = int(process_index)
         self._epoch = 0
         self._seed = seed
 
@@ -136,14 +145,18 @@ class H5Batcher:
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
-        n = len(self.indices)
+        n = self.num_samples
         if self.drop_remainder:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     @property
     def num_samples(self) -> int:
-        return len(self.indices)
+        """Samples this process's shard covers (±granularity for chunk runs)."""
+        n = len(self.indices)
+        if self.process_count > 1:
+            n = n // self.process_count
+        return n
 
     def _keys(self) -> list[str]:
         return ["cutouts", "ra", "dec"] + (list(self.label_keys) if self.label_keys else [])
@@ -223,6 +236,8 @@ class H5Batcher:
         runs = np.stack([starts, np.minimum(starts + g, n)], axis=1)
         if rng is not None:
             rng.shuffle(runs)
+        if self.process_count > 1:  # disjoint per-process share of the epoch
+            runs = runs[self.process_index :: self.process_count]
         return runs
 
     def _read_run(self, f, dest: dict, src0: int, src1: int, at: int) -> None:
@@ -337,6 +352,8 @@ class H5Batcher:
                     pool[k][: len(rest)] = pool[k][rest]
                 fill = len(rest)
 
+        if self.process_count > 1:
+            starts = starts[self.process_index :: self.process_count]
         target_rows = self.buffer_batches * self.batch_size
         for s in starts:
             s = int(s)
@@ -357,6 +374,8 @@ class H5Batcher:
         if self.shuffle:
             rng = np.random.default_rng(self._seed + self._epoch)
             idx = rng.permutation(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index :: self.process_count]
         n_full = len(idx) // self.batch_size
         rows = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(n_full)]
         if not self.drop_remainder and len(idx) % self.batch_size:

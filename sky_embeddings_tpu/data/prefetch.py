@@ -26,9 +26,15 @@ def device_prefetch(
     """
     it = iter(iterator)
     buf: collections.deque = collections.deque()
+    multiprocess = jax.process_count() > 1
 
     def put(item):
         if sharding is not None:
+            if multiprocess:
+                # each process contributes its local shard of the global batch
+                from sky_embeddings_tpu.parallel.distributed import put_global
+
+                return put_global(item, sharding)
             return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), item)
         return jax.tree_util.tree_map(jax.device_put, item)
 

@@ -265,6 +265,13 @@ class PredictorTrainer:
         return loss, metric
 
     def eval_batch(self, batch: dict):
+        if jax.process_count() > 1:
+            from sky_embeddings_tpu.parallel.distributed import put_global
+
+            batch = put_global(
+                {k: batch[k] for k in ("cutouts", "ra_dec", "labels")},
+                self.batch_shard,
+            )
         _, loss, metric = self._eval_step(
             self.state, batch["cutouts"], batch["ra_dec"], batch["labels"]
         )
@@ -291,6 +298,8 @@ class PredictorTrainer:
         return True
 
     def save(self, path: str) -> None:
+        if jax.process_index() != 0:
+            return  # one writer per run; state is replicated
         ckpt.save_checkpoint(
             path,
             {

@@ -197,6 +197,12 @@ class MIMPretrainer:
         return loss
 
     def eval_batch(self, batch: dict, idx: int = 0) -> jax.Array:
+        if jax.process_count() > 1:
+            from sky_embeddings_tpu.parallel.distributed import put_global
+
+            batch = put_global(
+                {k: batch[k] for k in ("cutouts", "ra_dec")}, self.batch_shard
+            )
         _, loss = self._eval_step(
             self.state, batch["cutouts"], batch["ra_dec"], jnp.int32(idx)
         )
@@ -204,6 +210,8 @@ class MIMPretrainer:
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
+        if jax.process_index() != 0:
+            return  # one writer per run; state is replicated
         ckpt.save_checkpoint(
             path,
             {

@@ -249,3 +249,28 @@ def test_chunk_mode_multiprocess_matches_single(h5file):
     for bs, bm in zip(got_s, got_m):
         np.testing.assert_allclose(bs["cutouts"], bm["cutouts"])
         np.testing.assert_allclose(bs["ra_dec"], bm["ra_dec"])
+
+
+def test_process_sharding_partitions_data(h5file):
+    """Two process-shards must cover the dataset disjointly (multi-host
+    input contract, parallel/distributed.py)."""
+    with h5py.File(h5file, "r") as f:
+        expect = np.sort(f["ra"][:])
+    for mode in ("chunk", "exact"):
+        shards = [
+            build_h5_batcher(h5file, batch_size=4, img_size=16, shuffle=True,
+                             shuffle_mode=mode, seed=3, drop_remainder=False,
+                             process_count=2, process_index=i)
+            for i in range(2)
+        ]
+        got = np.concatenate([_row_ids(list(s)) for s in shards])
+        # chunk runs split unevenly only by granularity; exact splits by index
+        assert len(got) == 50
+        np.testing.assert_allclose(np.sort(got), expect)
+
+
+def test_process_sharding_local_batch_shapes(h5file):
+    b = build_h5_batcher(h5file, batch_size=8, img_size=16, shuffle=True,
+                         process_count=2, process_index=1)
+    for batch in b:
+        assert batch["cutouts"].shape[0] == 8  # batch_size is per-process

@@ -20,12 +20,15 @@ import jax
 
 from sky_embeddings_tpu.configuration import load_config
 from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+from sky_embeddings_tpu.parallel import distributed
 from sky_embeddings_tpu.train.predictor import PredictorTrainer, train_predictor_network
 from sky_embeddings_tpu.utils.checkpoint import checkpoint_path
 from sky_embeddings_tpu.utils.misc import build_train_argparser, select_training_indices
 
 
 def main(args):
+    distributed.initialize_from_env()
+    n_proc, proc_id = distributed.process_count(), distributed.process_index()
     cur_dir = os.path.dirname(os.path.abspath(__file__))
     config_dir = os.path.join(cur_dir, "configs")
     model_dir = os.path.join(cur_dir, "models")
@@ -78,18 +81,23 @@ def main(args):
     else:
         indices = None
 
+    if batch_size % n_proc:
+        raise SystemExit(f"batch_size {batch_size} not divisible by {n_proc} processes")
+    local_bs = batch_size // n_proc
     train_batcher = build_h5_batcher(
-        train_file, batch_size=batch_size, img_size=img_size,
+        train_file, batch_size=local_bs, img_size=img_size,
         label_keys=label_keys, shuffle=True, indices=indices,
         # clip runs on device in the jitted step (see h5_loader docstring)
         pixel_min=None, pixel_max=None,
         num_workers=data.int("num_workers", 0),
+        process_count=n_proc, process_index=proc_id,
     )
     print(f"The training set consists of {train_batcher.num_samples} cutouts.")
     val_batcher = build_h5_batcher(
         os.path.join(data_dir, data.str("val_data_file")),
-        batch_size=batch_size, img_size=img_size,
+        batch_size=local_bs, img_size=img_size,
         label_keys=label_keys, shuffle=True,
+        process_count=n_proc, process_index=proc_id,
     )
 
     train_predictor_network(
@@ -99,7 +107,8 @@ def main(args):
         args.verbose_iters,
         args.cp_time,
         model_filename,
-        fig_dir=fig_dir,
+        fig_dir=fig_dir if distributed.is_main() else None,
+        log_fn=print if distributed.is_main() else (lambda *_: None),
     )
 
 
