@@ -168,10 +168,16 @@ class MlpBlock(nn.Module):
 
     hidden_dim: int
     dtype: Dtype = jnp.float32
+    # fc1-preactivation stash: skips the fc1 recompute matmul in the backward
+    # but costs ~400 MB/layer of HBM at ViT-B B=1024 for only ~0.5 ms/layer
+    # (the stash write is bandwidth-bound) — off by default; the attention
+    # stash (see Block) is the one that pays.
+    stash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from sky_embeddings_tpu.ops.kernels.mlp_block import (
+            DEFAULT_BLOCK_B,
             fused_mlp_block,
             xla_mlp_block,
         )
@@ -197,7 +203,10 @@ class MlpBlock(nn.Module):
             and D % 128 == 0
             and self.hidden_dim % 128 == 0
         ):
-            return fused_mlp_block(xc, scale, bias, w1c, b1, w2c, b2)
+            return fused_mlp_block(
+                xc, scale, bias, w1c, b1, w2c, b2,
+                DEFAULT_BLOCK_B, False, self.stash,
+            )
         return xla_mlp_block(xc, scale, bias, w1c, b1, w2c, b2)
 
 
@@ -252,10 +261,16 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
+    # qkv+probs stash: measured 13.7 -> 11.0 ms/layer fwd+bwd at ViT-B
+    # B=1024 bf16 for ~400 MB/layer HBM (writes overlap the MXU-bound fwd).
+    stash: bool = True
+    stash_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from sky_embeddings_tpu.ops.kernels.attn_block import (
+            DEFAULT_BLOCK_B_BWD,
+            DEFAULT_BLOCK_B_FWD,
             fused_attn_block,
             xla_attn_block,
         )
@@ -277,10 +292,16 @@ class Block(nn.Module):
             and N <= 256
             and D % self.num_heads == 0
         ):
-            x = fused_attn_block(*args, self.num_heads)
+            x = fused_attn_block(
+                *args, self.num_heads,
+                DEFAULT_BLOCK_B_FWD, DEFAULT_BLOCK_B_BWD, False, self.stash,
+            )
         else:
             x = xla_attn_block(*args, self.num_heads)
-        return MlpBlock(int(D * self.mlp_ratio), dtype=self.dtype, name="ffn")(x)
+        return MlpBlock(
+            int(D * self.mlp_ratio), dtype=self.dtype, stash=self.stash_mlp,
+            name="ffn"
+        )(x)
 
 
 class Encoder(nn.Module):
@@ -298,13 +319,20 @@ class Encoder(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.float32
     remat: bool = False
+    stash: bool = True
+    stash_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         block_cls = nn.remat(Block) if self.remat else Block
+        # Under remat the forward is replayed in the backward anyway, so the
+        # stash writes would be paid twice for no recompute saving — disable.
+        stash = self.stash and not self.remat
+        stash_mlp = self.stash_mlp and not self.remat
         for i in range(self.depth):
             x = block_cls(
-                self.num_heads, self.mlp_ratio, dtype=self.dtype, name=f"block{i}"
+                self.num_heads, self.mlp_ratio, dtype=self.dtype, stash=stash,
+                stash_mlp=stash_mlp, name=f"block{i}"
             )(x)
         return x
 

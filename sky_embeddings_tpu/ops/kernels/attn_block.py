@@ -172,6 +172,127 @@ def _bwd_kernel(
     dbproj_ref[0] += g2.sum(axis=0)
 
 
+def _fwd_stash_kernel(
+    x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    out_ref, qkv_ref, probs_ref,
+    *, num_heads: int,
+):
+    """Forward that also writes qkv (bf16, 2D (B·N, 3D)) and the per-head
+    softmax probabilities (bf16, (B, H, N, N)) for the stash backward."""
+    TB, N, D = x_ref.shape
+    hd = D // num_heads
+    attn_scale = hd ** -0.5
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    y, _, _ = _ln_forward(x2, scale_ref[0], bias_ref[0])
+    y_c = y.astype(wqkv_ref.dtype)
+    qkv = (
+        jnp.dot(y_c, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[0]
+    )
+    qkv_c = qkv.astype(qkv_ref.dtype)
+    qkv_ref[:] = qkv_c
+    qkv3 = qkv_c.reshape(TB, N, 3 * D)
+    ctx_parts = []
+    for h in range(num_heads):
+        lo = h * hd
+        q = qkv3[:, :, lo : lo + hd]
+        k = qkv3[:, :, D + lo : D + lo + hd]
+        v = qkv3[:, :, 2 * D + lo : 2 * D + lo + hd]
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+        probs_c = probs.astype(probs_ref.dtype)
+        probs_ref[:, h, :, :] = probs_c
+        ctx = jax.lax.dot_general(
+            probs_c, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ctx_parts.append(ctx.astype(wproj_ref.dtype))
+    ctx2 = jnp.concatenate(ctx_parts, axis=-1).reshape(TB * N, D)
+    out = (
+        jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
+    )
+    out_ref[:] = (x2 + out).reshape(TB, N, D).astype(out_ref.dtype)
+
+
+def _bwd_stash_kernel(
+    x_ref, scale_ref, bias_ref, wqkv_ref, wproj_ref, qkv_ref, probs_ref, g_ref,
+    dx_ref, dscale_ref, dbias_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+    *, num_heads: int,
+):
+    """Backward consuming stashed qkv + probs: no qkv-matmul, logits-matmul or
+    softmax recompute — only LN (VPU) and ctx = probs·v (for dW_proj)."""
+    from jax.experimental import pallas as pl
+
+    TB, N, D = x_ref.shape
+    hd = D // num_heads
+    attn_scale = hd ** -0.5
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    g2 = g_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    scale = scale_ref[0]
+
+    y, xhat, rstd = _ln_forward(x2, scale, bias_ref[0])
+    y_c = y.astype(wqkv_ref.dtype)
+    qkv3 = qkv_ref[:].reshape(TB, N, 3 * D)
+
+    g_c = g2.astype(wproj_ref.dtype)
+    dctx = jnp.dot(g_c, wproj_ref[:].T, preferred_element_type=jnp.float32)
+    dctx3 = dctx.reshape(TB, N, D)
+
+    bd = lambda a, b, contract, batch=((0,), (0,)): jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, batch), preferred_element_type=jnp.float32
+    )
+    ctx_parts, dqkv_parts = [], [None] * (3 * num_heads)
+    for h in range(num_heads):
+        lo = h * hd
+        q = qkv3[:, :, lo : lo + hd]
+        k = qkv3[:, :, D + lo : D + lo + hd]
+        v = qkv3[:, :, 2 * D + lo : 2 * D + lo + hd]
+        probs_c = probs_ref[:, h, :, :]
+        probs = probs_c.astype(jnp.float32)
+
+        ctx_parts.append(bd(probs_c, v, ((2,), (1,))).astype(v.dtype))
+
+        dc = dctx3[:, :, lo : lo + hd].astype(v.dtype)
+        dv = bd(probs_c, dc, ((1,), (1,)))                    # (TB, N, hd)
+        dp = bd(dc, v, ((2,), (2,)))                          # (TB, N, N)
+        tmp = dp * probs
+        ds = (tmp - probs * tmp.sum(axis=-1, keepdims=True)) * attn_scale
+        ds_c = ds.astype(q.dtype)
+        dqkv_parts[h] = bd(ds_c, k, ((2,), (1,)))             # dq
+        dqkv_parts[num_heads + h] = bd(ds_c, q, ((1,), (1,)))  # dk
+        dqkv_parts[2 * num_heads + h] = dv
+
+    ctx2 = jnp.concatenate(ctx_parts, axis=-1).reshape(TB * N, D)
+    dqkv = jnp.concatenate(dqkv_parts, axis=-1).reshape(TB * N, 3 * D)
+    dqkv_c = dqkv.astype(wqkv_ref.dtype)
+
+    dy = jnp.dot(dqkv_c, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+
+    dxhat = dy * scale
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = (g2 + dx_ln).reshape(TB, N, D).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+    dscale_ref[0] += (dy * xhat).sum(axis=0)
+    dbias_ref[0] += dy.sum(axis=0)
+    dwqkv_ref[:] += jnp.dot(y_c.T, dqkv_c, preferred_element_type=jnp.float32)
+    dbqkv_ref[0] += dqkv.sum(axis=0)
+    dwproj_ref[:] += jnp.dot(ctx2.T, g_c, preferred_element_type=jnp.float32)
+    dbproj_ref[0] += g2.sum(axis=0)
+
+
 def _pick_block(b: int, cap: int) -> int:
     tb = 8
     while tb * 2 <= cap and b % (tb * 2) == 0:
@@ -209,6 +330,102 @@ def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, in
         interpret=interpret,
         **kwargs,
     )(x, scale, bias, wqkv, bqkv, wproj, bproj)
+
+
+def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = x.shape
+    tb = _pick_block(B, block_b)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        )
+    row = lambda i: (0, 0)
+    return pl.pallas_call(
+        functools.partial(_fwd_stash_kernel, num_heads=num_heads),
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb * N, 3 * D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tb, num_heads, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),
+            jax.ShapeDtypeStruct((B * N, 3 * D), x.dtype),
+            jax.ShapeDtypeStruct((B, num_heads, N, N), x.dtype),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(x, scale, bias, wqkv, bqkv, wproj, bproj)
+
+
+def _pallas_bwd_stash(
+    x, scale, bias, wqkv, wproj, qkv, probs, g, num_heads, block_b, interpret
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, D = x.shape
+    tb = _pick_block(B, block_b)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        )
+    row = lambda i: (0, 0)
+    outs = (
+        jax.ShapeDtypeStruct((B, N, D), x.dtype),        # dx
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dscale
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbias
+        jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),   # dwqkv
+        jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),   # dbqkv
+        jax.ShapeDtypeStruct((D, D), jnp.float32),       # dwproj
+        jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbproj
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_stash_kernel, num_heads=num_heads),
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb * N, 3 * D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tb, num_heads, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=outs,
+        interpret=interpret,
+        **kwargs,
+    )(x, scale, bias, wqkv, wproj, qkv, probs, g)
 
 
 def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b, interpret):
@@ -261,19 +478,24 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
     )(x, scale, bias, wqkv, bqkv, wproj, bproj, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_attn_block(
     x, scale, bias, wqkv, bqkv, wproj, bproj,
     num_heads: int,
     block_b_fwd: int = DEFAULT_BLOCK_B_FWD,
     block_b_bwd: int = DEFAULT_BLOCK_B_BWD,
     interpret: bool = False,
+    stash: bool = False,
 ):
     """x + proj(attn(qkv(LN(x)))) with everything resident in VMEM per tile.
 
     Shapes: x (B, N, D); scale/bias (D,) fp32; wqkv (D, 3D); bqkv (3D,);
     wproj (D, D); bproj (D,). Weights should be pre-cast to the activation
-    dtype. Returns (B, N, D) in x's dtype. The backward saves only ``x``.
+    dtype. Returns (B, N, D) in x's dtype. ``stash=False``: the backward
+    saves only ``x`` and recomputes everything. ``stash=True``: the
+    differentiation-path forward also writes qkv + softmax probs (bf16) and
+    the backward skips their recompute (see module docstring); the primal
+    (inference) path never pays the stash writes.
     """
     return _pallas_fwd(
         x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
@@ -283,21 +505,34 @@ def fused_attn_block(
 
 
 def _fab_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj,
-             num_heads, block_b_fwd, block_b_bwd, interpret):
+             num_heads, block_b_fwd, block_b_bwd, interpret, stash):
+    if stash:
+        out, qkv, probs = _pallas_fwd_stash(
+            x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
+            bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
+            num_heads, block_b_fwd, interpret,
+        )
+        return out, (x, scale, bias, wqkv, bqkv, wproj, bproj, qkv, probs)
     out = fused_attn_block(
         x, scale, bias, wqkv, bqkv, wproj, bproj,
-        num_heads, block_b_fwd, block_b_bwd, interpret,
+        num_heads, block_b_fwd, block_b_bwd, interpret, stash,
     )
-    return out, (x, scale, bias, wqkv, bqkv, wproj, bproj)
+    return out, (x, scale, bias, wqkv, bqkv, wproj, bproj, None, None)
 
 
-def _fab_bwd(num_heads, block_b_fwd, block_b_bwd, interpret, res, g):
-    x, scale, bias, wqkv, bqkv, wproj, bproj = res
-    dx, dscale, dbias, dwqkv, dbqkv, dwproj, dbproj = _pallas_bwd(
-        x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
-        bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1), g,
-        num_heads, block_b_bwd, interpret,
-    )
+def _fab_bwd(num_heads, block_b_fwd, block_b_bwd, interpret, stash, res, g):
+    x, scale, bias, wqkv, bqkv, wproj, bproj, qkv, probs = res
+    if stash:
+        dx, dscale, dbias, dwqkv, dbqkv, dwproj, dbproj = _pallas_bwd_stash(
+            x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv, wproj,
+            qkv, probs, g, num_heads, block_b_bwd, interpret,
+        )
+    else:
+        dx, dscale, dbias, dwqkv, dbqkv, dwproj, dbproj = _pallas_bwd(
+            x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
+            bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1), g,
+            num_heads, block_b_bwd, interpret,
+        )
     return (
         dx,
         dscale[0].astype(scale.dtype),

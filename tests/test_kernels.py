@@ -106,6 +106,43 @@ def test_fused_mlp_block_backward_parity():
         )
 
 
+def test_fused_mlp_block_stash_backward_parity():
+    """stash=True backward (consumes the stashed fc1 pre-activation) must
+    match the recompute backward. In fp32 (as here) the stash is lossless;
+    on TPU the bf16 stash adds noise on the order of the bf16 activations."""
+    from sky_embeddings_tpu.ops.kernels.mlp_block import fused_mlp_block, xla_mlp_block
+
+    args = _mlp_inputs()
+
+    def loss_k(*a):
+        return (fused_mlp_block(*a, 4, True, True) ** 2).sum()
+
+    def loss_x(*a):
+        return (xla_mlp_block(*a) ** 2).sum()
+
+    g_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    g_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    names = ["x", "scale", "bias", "w1", "b1", "w2", "b2"]
+    for name, a, b in zip(names, g_k, g_x):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale, rtol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_fused_mlp_block_stash_forward_matches_plain():
+    """The stash forward's primal output must equal the plain forward."""
+    from sky_embeddings_tpu.ops.kernels.mlp_block import fused_mlp_block
+
+    args = _mlp_inputs()
+    out_plain = fused_mlp_block(*args, 4, True, False)
+    out_stash, _ = jax.vjp(lambda *a: fused_mlp_block(*a, 4, True, True), *args)
+    np.testing.assert_allclose(
+        np.asarray(out_stash), np.asarray(out_plain), atol=1e-6
+    )
+
+
 def test_gelu_approximation_accuracy():
     from sky_embeddings_tpu.ops.kernels.mlp_block import _gelu, _gelu_grad
 
@@ -170,6 +207,48 @@ def test_fused_attn_block_backward_parity():
             np.asarray(gk), np.asarray(gx), atol=5e-4, rtol=1e-3,
             err_msg=f"grad mismatch for {name}",
         )
+
+
+def test_fused_attn_block_stash_backward_parity():
+    """stash=True backward (consumes stashed qkv + probs) must match the
+    XLA reference gradients. fp32 here -> lossless stash."""
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    args = _attn_block_inputs()
+    g = jnp.asarray(
+        np.random.default_rng(7).normal(size=args[0].shape).astype(np.float32)
+    )
+
+    def loss_k(*a):
+        return (fused_attn_block(*a, 4, 4, 4, True, True) * g).sum()
+
+    def loss_x(*a):
+        return (xla_attn_block(*a, 4) * g).sum()
+
+    grads_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    grads_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    names = ["x", "scale", "bias", "wqkv", "bqkv", "wproj", "bproj"]
+    for name, gk, gx in zip(names, grads_k, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), atol=5e-4, rtol=1e-3,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_fused_attn_block_stash_forward_matches_plain():
+    from sky_embeddings_tpu.ops.kernels.attn_block import fused_attn_block
+
+    args = _attn_block_inputs()
+    out_plain = fused_attn_block(*args, 4, 4, 4, True, False)
+    out_stash, _ = jax.vjp(
+        lambda *a: fused_attn_block(*a, 4, 4, 4, True, True), *args
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_stash), np.asarray(out_plain), atol=1e-6
+    )
 
 
 def test_block_module_parity_with_unfused_reference():
