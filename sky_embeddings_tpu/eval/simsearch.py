@@ -130,3 +130,142 @@ def mim_simsearch(
         np.asarray(best_ra_decs),
         np.asarray(scores),
     )
+
+
+def mim_simsearch_multi(
+    model,
+    variables: dict,
+    target_latents: list,
+    batches: Iterable[dict],
+    n_save: int = 256,
+    metric: str = "cosine",
+    combine: str = "min",
+    use_weights: bool = True,
+    max_pool: bool = False,
+    cls_token: bool = False,
+    n_batches: Optional[int] = None,
+    log_every: int = 100,
+    log_fn=print,
+):
+    """Search the survey for G target groups in ONE pass.
+
+    The expensive leg — encoding every survey cutout — is shared across all
+    targets; scoring against the G (target, weight) pairs is a fused multi-
+    query contraction (cf. ``ops/kernels/simscore.weighted_bank_scores_multi``
+    for the precomputed-bank variant), and G running best-k sets are
+    maintained on device via a vmapped top-k merge. New capability beyond the
+    reference (which re-streams the survey per target,
+    ``similarity.py:37-132``).
+
+    ``target_latents``: list of (Bt_g, Lt, D) token-feature arrays, one per
+    target group. Returns lists of per-target (images, latent, ra_decs,
+    scores) arrays, ordered like the input.
+    """
+    from sky_embeddings_tpu.ops.similarity import target_features
+
+    largest = metric == "cosine"
+    n_extra = model.num_extra_tokens
+    targets = [
+        _select_tokens(jnp.asarray(t), n_extra, cls_token, max_pool)
+        for t in target_latents
+    ]
+    G = len(targets)
+
+    def encode(vs, imgs, ra_dec):
+        kwargs = {"ra_dec": ra_dec} if model.ra_dec else {}
+        if isinstance(model, SkyMIM):
+            tokens, _, _ = model.apply(vs, imgs, method=SkyMIM.encode, **kwargs)
+        else:
+            tokens = model.apply(vs, imgs, method=SkyViT.encode, **kwargs)
+        return tokens
+
+    @jax.jit
+    def first_batch_stats(vs, imgs, ra_dec):
+        latent = _select_tokens(encode(vs, imgs, ra_dec), n_extra, cls_token, max_pool)
+        mean = latent.mean(axis=(0, 1))
+        n = latent.shape[0] * latent.shape[1]
+        var = ((latent - mean) ** 2).sum(axis=(0, 1)) / jnp.maximum(n - 1, 1)
+        return mean, jnp.sqrt(var)
+
+    def _score_one(tgt_mean, tgt_w, latent):
+        from sky_embeddings_tpu.ops.similarity import (
+            weighted_cosine,
+            weighted_mae,
+            weighted_mse,
+        )
+
+        if metric == "cosine":
+            sims = weighted_cosine(tgt_mean, latent, tgt_w)
+        elif metric.upper() == "MSE":
+            sims = weighted_mse(tgt_mean, latent, tgt_w)
+        else:
+            sims = weighted_mae(tgt_mean, latent, tgt_w)
+        if combine == "mean":
+            return sims.mean(axis=1)
+        if combine == "min":
+            return sims.min(axis=1)
+        return sims.max(axis=1)
+
+    @jax.jit
+    def search_step(vs, topk, imgs, ra_dec, tgt_means, tgt_ws, mean, std):
+        # encode ONCE; score all G targets against the shared latent
+        latent = _select_tokens(encode(vs, imgs, ra_dec), n_extra, cls_token, max_pool)
+        latent = (latent - mean) / (std + 1e-8)  # first-batch stats (ref quirk)
+        scores = jax.vmap(_score_one, in_axes=(0, 0, None))(
+            tgt_means, tgt_ws, latent
+        )  # (G, B)
+        payload = {"images": imgs, "ra_decs": ra_dec}
+        return jax.vmap(
+            lambda st, sc: topk_update(st, sc, payload, largest=largest),
+            in_axes=(0, 0),
+        )(topk, scores)
+
+    topk = None
+    tgt_means = tgt_ws = mean = std = None
+    for i, batch in enumerate(batches):
+        if n_batches is not None and i >= n_batches:
+            break
+        imgs = jnp.asarray(batch["cutouts"])
+        ra_dec = jnp.asarray(batch["ra_dec"])
+        if i == 0:
+            mean, std = first_batch_stats(variables, imgs, ra_dec)
+            std_targets = [(t - mean) / (std + 1e-8) for t in targets]
+            stats = [target_features(t) for t in std_targets]
+            tgt_means = jnp.stack([m for m, _ in stats])
+            ws = [w for _, w in stats]
+            if not use_weights:
+                ws = [jnp.ones_like(w) / w.shape[0] for w in ws]
+            tgt_ws = jnp.stack(ws)
+            payload_shapes = {
+                "images": jax.ShapeDtypeStruct(imgs.shape[1:], imgs.dtype),
+                "ra_decs": jax.ShapeDtypeStruct((2,), jnp.float32),
+            }
+            one = topk_init(n_save, payload_shapes, largest=largest)
+            topk = jax.tree_util.tree_map(
+                lambda leaf: jnp.broadcast_to(leaf, (G,) + leaf.shape), one
+            )
+        topk = search_step(
+            variables, topk, imgs, ra_dec, tgt_means, tgt_ws, mean, std
+        )
+        if log_every and (i + 1) % log_every == 0:
+            log_fn(f"Processed {i + 1} image batches...")
+
+    if topk is None:
+        raise ValueError("similarity search received no batches")
+
+    results = []
+    for g in range(G):
+        one = jax.tree_util.tree_map(lambda leaf: leaf[g], topk)
+        scores, payload = topk_finalize(one, largest=largest)
+        imgs_g = payload["images"]
+        ra_g = payload["ra_decs"]
+        latent_g = jax.jit(encode)(variables, imgs_g, ra_g)
+        results.append(
+            (
+                np.asarray(imgs_g),
+                np.asarray(latent_g),
+                np.asarray(ra_g),
+                np.asarray(scores),
+            )
+        )
+    return results

@@ -14,11 +14,26 @@ Two implementations, benchmarked head-to-head on a v5e chip (1M × 768 bank):
   fused rsqrt epilogue, one HBM pass). **6.6 ms fp32 / 5.7 ms bf16.**
 
 XLA matches the hand-written kernel on this memory-bound matvec, so the
-default dispatch uses the XLA path; the Pallas kernel is kept (parity-tested)
-as the base for future multi-query batching, where amortizing the bank read
-across Q right-hand sides is a real win XLA won't schedule by itself.
-Top-k runs on the (N,) scores with ``jax.lax.top_k`` (neither ``top_k`` nor
-``sort`` is lowerable inside Mosaic kernels as of jax 0.9).
+default dispatch uses the XLA path for Q=1.
+
+**Multi-query** (``weighted_bank_scores_multi``): for Q simultaneous targets
+(each with its own inverse-variance weight vector — TTA target groups,
+multiple object classes searched in one survey pass) the scores are
+
+    dots  = X  @ (W·T)ᵀ      (N, Q)
+    prods = X² @ Wᵀ          (N, Q)
+    score = dots / (sqrt(prods)·||t||_w + eps)
+
+Measured head-to-head on a v5e (1M×768 fp32 bank): XLA 8.4/11.5/12.6 ms at
+Q=1/8/64 vs the one-pass Pallas kernel's flat ~20 ms — XLA already amortizes
+the bank read across the fused (N,Q) contraction, while the kernel's narrow
+(768×Qp) per-tile matmuls run far below MXU efficiency. The multi-query
+dispatch therefore uses XLA; the kernel is kept parity-tested as the base
+for a future wide-Q (≥256) regime where one-pass wins. The *survey-scale*
+amortization lives elsewhere: ``eval/simsearch.mim_simsearch_multi`` shares
+the encoder pass (~110 ms/batch vs ~7 ms scoring) across G targets.
+Top-k runs on the (N, Q) scores with ``jax.lax.top_k`` (neither ``top_k``
+nor ``sort`` is lowerable inside Mosaic kernels as of jax 0.9).
 """
 
 from __future__ import annotations
@@ -89,6 +104,96 @@ def weighted_bank_scores_xla(
     mags = jnp.sqrt((bank ** 2) @ weights)
     tnorm = jnp.sqrt(jnp.sum(weights * target ** 2))
     return dots / (mags * tnorm + 1e-6)
+
+
+# ----------------------------------------------------------------------
+# Multi-query: Q targets, one bank pass
+# ----------------------------------------------------------------------
+
+def _scores_multi_kernel(bank_ref, wt_ref, w_ref, tnorm_ref, out_ref):
+    """bank tile (T, D) × wt (D, Qp), w (D, Qp), tnorm (1, Qp) -> (T, Qp)."""
+    tile = bank_ref[:]
+    dots = jnp.dot(tile, wt_ref[:], preferred_element_type=jnp.float32)
+    prods = jnp.dot(tile * tile, w_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = dots / (jnp.sqrt(prods) * tnorm_ref[0] + 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def weighted_bank_scores_multi_pallas(
+    bank: jnp.ndarray,
+    targets: jnp.ndarray,
+    weights: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(N, D) bank, (Q, D) targets, (Q, D) per-target weights -> (N, Q)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, D = bank.shape
+    Q = targets.shape[0]
+    qpad = (-Q) % 128  # lane-align the query axis
+    wt = (weights * targets).astype(jnp.float32).T          # (D, Q)
+    w = weights.astype(jnp.float32).T                       # (D, Q)
+    tnorm = jnp.sqrt(jnp.sum(weights * targets ** 2, axis=1)).reshape(1, Q)
+    if qpad:
+        wt = jnp.pad(wt, ((0, 0), (0, qpad)))
+        w = jnp.pad(w, ((0, 0), (0, qpad)))
+        tnorm = jnp.pad(tnorm, ((0, 0), (0, qpad)), constant_values=1.0)
+    Qp = Q + qpad
+    pad = (-N) % TILE_N
+    if pad:
+        bank = jnp.concatenate([bank, jnp.zeros((pad, D), bank.dtype)], axis=0)
+    n_tiles = bank.shape[0] // TILE_N
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        )
+    scores = pl.pallas_call(
+        _scores_multi_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TILE_N, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, Qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bank.shape[0], Qp), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(bank.astype(jnp.float32), wt, w, tnorm)
+    return scores[:N, :Q]
+
+
+def weighted_bank_scores_multi_xla(
+    bank: jnp.ndarray, targets: jnp.ndarray, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """Reference formulation (parity oracle / CPU fallback)."""
+    dots = bank @ (weights * targets).T
+    mags = jnp.sqrt((bank ** 2) @ weights.T)
+    tnorms = jnp.sqrt(jnp.sum(weights * targets ** 2, axis=1))
+    return dots / (mags * tnorms[None, :] + 1e-6)
+
+
+def weighted_bank_scores_multi(
+    bank: jnp.ndarray, targets: jnp.ndarray, weights: jnp.ndarray
+) -> jnp.ndarray:
+    """(N, Q) weighted-cosine scores of Q targets against the bank.
+
+    Uses the XLA formulation — measured faster than the one-pass Pallas
+    kernel at Q ≤ 64 on v5e (see module docstring)."""
+    return weighted_bank_scores_multi_xla(bank, targets, weights)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def bank_topk_multi(
+    bank: jnp.ndarray, targets: jnp.ndarray, weights: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query top-k: (Q, k) scores and bank indices."""
+    scores = weighted_bank_scores_multi(bank, targets, weights)  # (N, Q)
+    return jax.lax.top_k(scores.T, k)
 
 
 def weighted_bank_scores(

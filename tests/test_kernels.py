@@ -281,3 +281,52 @@ def test_block_module_parity_with_unfused_reference():
         ffn["fc1_bias"], ffn["fc2_kernel"], ffn["fc2_bias"],
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+# ----------------------------------------------------------------------
+# Multi-query bank scoring
+# ----------------------------------------------------------------------
+
+def test_multi_query_bank_scores_parity():
+    """Pallas multi-query kernel vs XLA formulation vs Q independent
+    single-query scores."""
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        weighted_bank_scores_multi_pallas,
+        weighted_bank_scores_multi_xla,
+        weighted_bank_scores_xla,
+    )
+
+    rng = np.random.default_rng(11)
+    bank = jnp.asarray(rng.normal(size=(300, 64)).astype(np.float32))
+    targets = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32))
+    weights = jnp.asarray(rng.random((5, 64)).astype(np.float32) + 0.1)
+
+    got = weighted_bank_scores_multi_pallas(bank, targets, weights, interpret=True)
+    want = weighted_bank_scores_multi_xla(bank, targets, weights)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    for q in range(5):
+        single = weighted_bank_scores_xla(bank, targets[q], weights[q])
+        np.testing.assert_allclose(
+            np.asarray(got[:, q]), np.asarray(single), atol=2e-5,
+            err_msg=f"query {q} disagrees with single-query scoring",
+        )
+
+
+def test_multi_query_bank_topk():
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        bank_topk,
+        bank_topk_multi,
+    )
+
+    rng = np.random.default_rng(12)
+    bank = jnp.asarray(rng.normal(size=(200, 32)).astype(np.float32))
+    targets = jnp.asarray(rng.normal(size=(3, 32)).astype(np.float32))
+    weights = jnp.asarray(rng.random((3, 32)).astype(np.float32) + 0.1)
+
+    scores_m, idx_m = bank_topk_multi(bank, targets, weights, 7)
+    assert scores_m.shape == (3, 7) and idx_m.shape == (3, 7)
+    for q in range(3):
+        s1, i1 = bank_topk(bank, targets[q], weights[q], 7)
+        np.testing.assert_allclose(np.asarray(scores_m[q]), np.asarray(s1), atol=2e-5)
+        np.testing.assert_array_equal(np.asarray(idx_m[q]), np.asarray(i1))

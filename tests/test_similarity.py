@@ -167,3 +167,51 @@ def test_end_to_end_simsearch():
     assert best_scores[0] >= best_scores[-1]
     assert best_ra[0, 0] == planted_ra  # the planted duplicate ranks first
     assert np.isfinite(best_latent).all()
+
+
+def test_multi_target_simsearch_matches_single():
+    """One-pass multi-target search must reproduce per-target single searches
+    (same model, same stream) — the survey encode is shared, results aren't."""
+    from sky_embeddings_tpu.eval.simsearch import mim_simsearch, mim_simsearch_multi
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    model = SkyMIM(
+        img_size=16, patch_size=4, in_chans=3, embed_dim=32, depth=2,
+        num_heads=4, simmim=True,
+    )
+    rng = np.random.default_rng(21)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16)),
+        mask=jnp.zeros((1, 3, 16, 16)),
+    )
+
+    target_sets = [
+        rng.normal(size=(5, 3, 16, 16)).astype(np.float32),
+        rng.normal(size=(5, 3, 16, 16)).astype(np.float32) * 2.0,
+    ]
+    target_latents = [
+        np.asarray(model.apply(variables, jnp.asarray(t), method=SkyMIM.encode)[0])
+        for t in target_sets
+    ]
+
+    batches = []
+    for _ in range(3):
+        batches.append({
+            "cutouts": rng.normal(size=(8, 3, 16, 16)).astype(np.float32),
+            "ra_dec": rng.uniform(0, 90, size=(8, 2)).astype(np.float32),
+        })
+
+    multi = mim_simsearch_multi(
+        model, variables, target_latents, batches, n_save=4,
+        metric="cosine", combine="min", max_pool=True, log_every=0,
+    )
+    assert len(multi) == 2
+    for g, latent in enumerate(target_latents):
+        imgs_s, _, ra_s, scores_s = mim_simsearch(
+            model, variables, latent, batches, n_save=4,
+            metric="cosine", combine="min", max_pool=True, log_every=0,
+        )
+        imgs_m, _, ra_m, scores_m = multi[g]
+        np.testing.assert_allclose(scores_m, scores_s, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ra_m, ra_s, rtol=1e-6)
+        np.testing.assert_allclose(imgs_m, imgs_s, rtol=1e-6)
