@@ -153,3 +153,65 @@ def test_jobqueue_local_executes(tmp_path):
         time.sleep(0.1)
     assert open(marker).read().count("run") == 2
     assert os.path.exists(str(tmp_path / "scripts/done/t.sh"))
+
+
+def test_cross_match_class_catalogs(tmp_path):
+    """Synthetic two-catalog cross-match: class CSVs contain exactly the
+    planted matches (reference 1_create_csv_files.ipynb semantics)."""
+    from sky_embeddings_tpu.data_processing.cross_match import (
+        cross_match_mask,
+        isolated_mask,
+        make_class_catalogs,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 200
+    ra = rng.uniform(150.0, 151.0, n)
+    dec = rng.uniform(1.0, 2.0, n)
+    zspec = rng.uniform(0.1, 1.5, n)
+    hsc = {"ra": ra, "dec": dec, "zspec": zspec, "zspec_err": 0.01 * zspec}
+
+    # class catalog: stars = hsc[0:50] jittered < 0.5", galaxies = hsc[50:120],
+    # qso = far away (no matches)
+    jitter = 0.3 / 3600.0
+    cls_ra = np.concatenate([ra[:50] + jitter, ra[50:120], ra[:10] + 10.0])
+    cls_dec = np.concatenate([dec[:50], dec[50:120] + jitter, dec[:10]])
+    cspec = np.concatenate([np.full(50, 1), np.full(70, 2), np.full(10, 3)])
+    classes = {"ra": cls_ra, "dec": cls_dec, "cspec": cspec}
+
+    paths = make_class_catalogs(
+        hsc, classes, str(tmp_path), class_names=["star", "galaxy", "qso"],
+        tolerance_arcsec=1.0, dedup=False,
+    )
+    star = np.genfromtxt(paths["star"], delimiter=",", names=True)
+    gal = np.genfromtxt(paths["galaxy"], delimiter=",", names=True)
+    assert star.size == 50 and gal.size == 70
+    np.testing.assert_allclose(np.sort(star["zspec"]), np.sort(zspec[:50]), rtol=1e-6)
+    # qso catalog was 10 degrees away -> empty
+    with open(paths["qso"]) as f:
+        assert len(f.readlines()) == 1  # header only
+
+    # direct mask check: tolerance respected both ways
+    m = cross_match_mask(ra, dec, cls_ra[:50], cls_dec[:50], radius_arcsec=1.0)
+    assert m[:50].all() and not m[50:].any()
+    m_tight = cross_match_mask(ra, dec, cls_ra[:50], cls_dec[:50], radius_arcsec=0.1)
+    assert not m_tight.any()  # 0.3" jitter > 0.1" tolerance
+
+    # isolated_mask: a planted close pair removes BOTH members
+    ra2 = np.array([10.0, 10.0 + 0.2 / 3600.0, 11.0])
+    dec2 = np.array([0.0, 0.0, 0.0])
+    iso = isolated_mask(ra2, dec2, radius_arcsec=1.0)
+    np.testing.assert_array_equal(iso, [False, False, True])
+
+
+def test_h5_to_csv(tmp_path):
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+    from sky_embeddings_tpu.data_processing.cross_match import h5_to_csv
+
+    p = str(tmp_path / "s.h5")
+    write_synthetic_h5(p, 20, channels=2, img_size=8)
+    out = str(tmp_path / "s.csv")
+    n = h5_to_csv(p, out)
+    assert n == 20
+    arr = np.genfromtxt(out, delimiter=",", names=True)
+    assert set(arr.dtype.names) == {"ra", "dec", "zspec"}
