@@ -177,7 +177,6 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from sky_embeddings_tpu.ops.kernels.mlp_block import (
-            DEFAULT_BLOCK_B,
             fused_mlp_block,
             xla_mlp_block,
         )
@@ -203,9 +202,9 @@ class MlpBlock(nn.Module):
             and D % 128 == 0
             and self.hidden_dim % 128 == 0
         ):
+            # block_b=0 -> geometry-scaled auto tile (auto_block_b)
             return fused_mlp_block(
-                xc, scale, bias, w1c, b1, w2c, b2,
-                DEFAULT_BLOCK_B, False, self.stash,
+                xc, scale, bias, w1c, b1, w2c, b2, 0, False, self.stash,
             )
         return xla_mlp_block(xc, scale, bias, w1c, b1, w2c, b2)
 
@@ -269,8 +268,6 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from sky_embeddings_tpu.ops.kernels.attn_block import (
-            DEFAULT_BLOCK_B_BWD,
-            DEFAULT_BLOCK_B_FWD,
             fused_attn_block,
             xla_attn_block,
         )
@@ -291,11 +288,15 @@ class Block(nn.Module):
             and D % 128 == 0
             and N <= 256
             and D % self.num_heads == 0
+            # Mosaic compile cost grows superlinearly with the per-head
+            # unroll (3·H-way concats in the backward): H=12 compiles in
+            # tens of seconds, H=16 takes ~10 min (stash) or OOMs the
+            # compile helper (recompute). Wide-head variants (large/huge)
+            # take the XLA einsum attention until the head loop is a scan.
+            and self.num_heads <= 12
         ):
-            x = fused_attn_block(
-                *args, self.num_heads,
-                DEFAULT_BLOCK_B_FWD, DEFAULT_BLOCK_B_BWD, False, self.stash,
-            )
+            # block sizes 0 -> geometry-scaled auto tiles (auto_block_b)
+            x = fused_attn_block(*args, self.num_heads, 0, 0, False, self.stash)
         else:
             x = xla_attn_block(*args, self.num_heads)
         return MlpBlock(
@@ -304,14 +305,45 @@ class Block(nn.Module):
         )(x)
 
 
+class _ScanBody(nn.Module):
+    """Scan-compatible wrapper: ``(carry, _) -> (carry, None)`` around Block."""
+
+    num_heads: int
+    mlp_ratio: float
+    dtype: Dtype
+    remat: bool
+    stash: bool
+    stash_mlp: bool
+
+    @nn.compact
+    def __call__(self, x, _):
+        block_cls = nn.remat(Block) if self.remat else Block
+        x = block_cls(
+            self.num_heads, self.mlp_ratio, dtype=self.dtype, stash=self.stash,
+            stash_mlp=self.stash_mlp, name="block"
+        )(x)
+        return x, None
+
+
 class Encoder(nn.Module):
     """A stack of ``depth`` transformer blocks.
 
-    Uses a Python loop (distinct parameters per block, matching the
-    reference's ModuleList) — XLA compiles each block once and reuses the
-    fused program; depth ≤ 32 keeps compile time modest. ``remat`` wraps each
-    block in ``jax.checkpoint`` to trade FLOPs for HBM during training of the
-    larger variants.
+    Two compilation strategies:
+
+    * ``scan=False`` (default) — a Python loop with distinct per-block
+      parameter scopes (``block0``..``blockN``, matching the reference's
+      ModuleList): each block is inlined into the jit program. Fine up to
+      ViT-B depth; at depth 24+ with the fused Pallas kernels the unrolled
+      program can exhaust the TPU compiler (observed: ViT-L OOMs the
+      remote compile helper on this harness).
+    * ``scan=True`` — ``nn.scan`` over depth-stacked parameters (one
+      ``blocks`` scope with a leading (depth, ...) axis on every leaf): the
+      block body compiles ONCE regardless of depth. The idiomatic big-model
+      JAX form; use for large/huge variants. ``stack_block_params`` /
+      ``unstack_block_params`` convert checkpoints between the layouts.
+
+    ``remat`` wraps each block in ``jax.checkpoint`` to trade FLOPs for HBM
+    during training of the larger variants.
     """
 
     depth: int
@@ -321,20 +353,58 @@ class Encoder(nn.Module):
     remat: bool = False
     stash: bool = True
     stash_mlp: bool = False
+    scan: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        block_cls = nn.remat(Block) if self.remat else Block
         # Under remat the forward is replayed in the backward anyway, so the
         # stash writes would be paid twice for no recompute saving — disable.
         stash = self.stash and not self.remat
         stash_mlp = self.stash_mlp and not self.remat
+        if self.scan:
+            scanned = nn.scan(
+                _ScanBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.depth,
+            )
+            x, _ = scanned(
+                self.num_heads, self.mlp_ratio, self.dtype, self.remat,
+                stash, stash_mlp, name="blocks",
+            )(x, None)
+            return x
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
             x = block_cls(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype, stash=stash,
                 stash_mlp=stash_mlp, name=f"block{i}"
             )(x)
         return x
+
+
+def stack_block_params(params: dict, depth: int) -> dict:
+    """Convert loop-encoder params (``block0``..``blockN`` scopes) to the
+    scan layout (one ``blocks/block`` scope, leaves stacked on axis 0).
+    Non-block entries pass through unchanged."""
+    blocks = [params[f"block{i}"] for i in range(depth)]
+    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls, axis=0), *blocks)
+    out = {k: v for k, v in params.items() if not _is_block_key(k)}
+    out["blocks"] = {"block": stacked}
+    return out
+
+
+def unstack_block_params(params: dict) -> dict:
+    """Inverse of :func:`stack_block_params`."""
+    stacked = params["blocks"]["block"]
+    depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    for i in range(depth):
+        out[f"block{i}"] = jax.tree_util.tree_map(lambda l: l[i], stacked)
+    return out
+
+
+def _is_block_key(key: str) -> bool:
+    return key.startswith("block") and key[5:].isdigit()
 
 
 class AttentionPoolLatent(nn.Module):

@@ -71,6 +71,11 @@ class SkyMIM(nn.Module):
     mask_ratio: float = 0.75  # MAE mode only; static per run (ref pretrain_mim.py:69)
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # Compile the encoder as a lax.scan over depth-stacked block params
+    # (required for large/huge on compile-memory-limited hosts; see
+    # layers.Encoder). Checkpoint layouts convert via
+    # layers.stack_block_params / unstack_block_params.
+    scan_blocks: bool = False
 
     # ------------------------------------------------------------------
     @property
@@ -97,7 +102,8 @@ class SkyMIM(nn.Module):
         if self.ra_dec:
             self.ra_dec_embed = LocationEncoder(out_dim=self.embed_dim)
         self.encoder = Encoder(
-            self.depth, self.num_heads, self.mlp_ratio, dtype=self.dtype, remat=self.remat
+            self.depth, self.num_heads, self.mlp_ratio, dtype=self.dtype,
+            remat=self.remat, scan=self.scan_blocks,
         )
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         # Trainable per-pixel fill for NaN / masked pixels (ref mim_vit.py:239).
@@ -131,7 +137,8 @@ class SkyMIM(nn.Module):
                 sincos_pos_embed_2d(self.decoder_embed_dim, self.grid_size, self.num_extra_tokens)
             )
             self.decoder = Encoder(
-                self.decoder_depth, self.decoder_num_heads, self.mlp_ratio, dtype=self.dtype
+                self.decoder_depth, self.decoder_num_heads, self.mlp_ratio,
+                dtype=self.dtype, scan=self.scan_blocks,
             )
             self.decoder_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
             self.decoder_pred = nn.Dense(
@@ -340,5 +347,9 @@ def build_mim_model(config, dtype: Dtype = jnp.float32, remat: bool = False) -> 
         mask_ratio=mask_ratio,
         dtype=dtype,
         remat=remat,
+        # default on for large/huge: the unrolled fused-kernel program at
+        # depth>=24 can exhaust TPU compiler memory ([ARCHITECTURE]
+        # scan_blocks overrides either way)
+        scan_blocks=arch.bool("scan_blocks", size_key in ("large", "huge")),
         **extra,
     )

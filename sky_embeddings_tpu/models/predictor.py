@@ -61,6 +61,7 @@ class SkyViT(nn.Module):
     zero_pos_embed: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    scan_blocks: bool = False  # see SkyMIM.scan_blocks / layers.Encoder
 
     @property
     def grid_size(self) -> int:
@@ -83,7 +84,8 @@ class SkyViT(nn.Module):
         if self.ra_dec:
             self.ra_dec_embed = LocationEncoder(out_dim=self.embed_dim)
         self.encoder = Encoder(
-            self.depth, self.num_heads, self.mlp_ratio, dtype=self.dtype, remat=self.remat
+            self.depth, self.num_heads, self.mlp_ratio, dtype=self.dtype,
+            remat=self.remat, scan=self.scan_blocks,
         )
         # timm-style norm/fc_norm split: 'avg' pooling normalizes after pooling.
         if self.global_pool != "avg":
@@ -214,4 +216,5 @@ def build_predictor_model(
         ra_dec=arch.bool("ra_dec", False),
         dtype=dtype,
         remat=remat,
+        scan_blocks=arch.bool("scan_blocks", size_key in ("large", "huge")),
     )

@@ -300,12 +300,25 @@ def _pick_block(b: int, cap: int) -> int:
     return min(tb, b)
 
 
+def auto_block_b(B: int, D: int, base: int) -> int:
+    """Geometry-scaled batch tile (cf. ``mlp_block.auto_block_b``): the
+    kernel's VMEM footprint grows with tb·N·D activations over a fixed D²
+    weight+grad term; the ViT-B tiles (fwd 32 / bwd 16 at D=768) shrink
+    quadratically for wider models — at D=1024 the ViT-B tiles exceed the
+    budget (observed compile OOM)."""
+    scale = (768.0 / D) ** 2
+    tb = base
+    while tb > 4 and tb > base * scale:
+        tb //= 2
+    return _pick_block(B, tb)
+
+
 def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -337,7 +350,7 @@ def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -381,7 +394,7 @@ def _pallas_bwd_stash(
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_BWD)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -433,7 +446,7 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_BWD)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -482,8 +495,8 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
 def fused_attn_block(
     x, scale, bias, wqkv, bqkv, wproj, bproj,
     num_heads: int,
-    block_b_fwd: int = DEFAULT_BLOCK_B_FWD,
-    block_b_bwd: int = DEFAULT_BLOCK_B_BWD,
+    block_b_fwd: int = 0,
+    block_b_bwd: int = 0,
     interpret: bool = False,
     stash: bool = False,
 ):

@@ -42,6 +42,21 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
+def auto_block_b(B: int, D: int, F: int, base: int = DEFAULT_BLOCK_B) -> int:
+    """Geometry-scaled batch tile: the backward kernel's VMEM footprint grows
+    with tb·N·F (activations) on top of a fixed D·F weight+grad term, so the
+    ViT-B tile (16 at D=768/F=3072) must shrink for larger variants —
+    measured: the ViT-L (D=1024, F=4096) backward exceeds the VMEM budget at
+    tb=16 and compiles at tb=8. Yields `base` at ViT-B geometry."""
+    scale = (768 * 3072) / float(D * F)
+    tb = base
+    while tb > 4 and tb > base * scale:
+        tb //= 2
+    while tb > 1 and B % tb:
+        tb //= 2
+    return max(tb, 1)
+
+
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
     """Abramowitz-Stegun 7.1.26 rational erf approximation (fp32)."""
     a1, a2, a3, a4, a5 = (
@@ -210,7 +225,7 @@ def _pallas_fwd(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -244,7 +259,7 @@ def _pallas_fwd_stash(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -283,7 +298,7 @@ def _pallas_bwd_stash(x, scale, bias, w1, w2, a, g, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -333,7 +348,7 @@ def _pallas_bwd(x, scale, bias, w1, b1, w2, b2, g, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -380,7 +395,7 @@ def _pallas_bwd(x, scale, bias, w1, b1, w2, b2, g, block_b, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_mlp_block(x, scale, bias, w1, b1, w2, b2,
-                    block_b: int = DEFAULT_BLOCK_B, interpret: bool = False,
+                    block_b: int = 0, interpret: bool = False,
                     stash: bool = False):
     """x + fc2(gelu(fc1(LN(x)))) with everything resident in VMEM per tile.
 

@@ -30,6 +30,13 @@ def _spec_for(path: tuple[str, ...]) -> P:
     names = [p for p in path]
     leaf = names[-1]
     parent = names[-2] if len(names) > 1 else ""
+    # Scan-encoder params ('blocks' scope) carry a leading depth axis —
+    # prepend an unsharded dim to whatever the base rule says.
+    stacked = "blocks" in names
+
+    def out(spec: P) -> P:
+        return P(None, *spec) if stacked else spec
+
     # The patch embedding's Dense is also named 'proj' but is column-parallel
     # (split the embedding dim, not the pixel dim).
     if "patch_embed" in names:
@@ -38,18 +45,18 @@ def _spec_for(path: tuple[str, ...]) -> P:
         return P("model") if leaf == "bias" else P()
     if leaf == "kernel":
         if parent in _COLUMN:
-            return P(None, "model")
+            return out(P(None, "model"))
         if parent in _ROW:
-            return P("model", None)
+            return out(P("model", None))
     if leaf == "bias" and parent in _COLUMN:
-        return P("model")
+        return out(P("model"))
     # MlpBlock flat parameter names (fused-kernel module)
     if leaf == "fc1_kernel":
-        return P(None, "model")
+        return out(P(None, "model"))
     if leaf == "fc2_kernel":
-        return P("model", None)
+        return out(P("model", None))
     if leaf == "fc1_bias":
-        return P("model")
+        return out(P("model"))
     return P()
 
 

@@ -176,7 +176,10 @@ class PredictorTrainer:
         self.mesh = mesh if mesh is not None else create_mesh()
         if dtype is None:
             dtype = jnp.dtype(config.training.str("dtype", "float32")).type
-        self.model = build_predictor_model(config, mae_config, dtype=dtype)
+        self.model = build_predictor_model(
+            config, mae_config, dtype=dtype,
+            remat=config.training.bool("remat", False),
+        )
 
         training = config.training
         self.total_batch_iters = training.int("total_batch_iters")
@@ -285,7 +288,8 @@ class PredictorTrainer:
         # Match against shape metadata; merge on device (unmatched leaves —
         # head, geometry mismatches — keep their live fresh values).
         abstract = self.state.abstract()
-        merged = warm_start_from_mim(abstract.params, payload["params"], log_fn=log_fn)
+        mim_params = ckpt.adapt_block_layout(payload["params"], abstract.params)
+        merged = warm_start_from_mim(abstract.params, mim_params, log_fn=log_fn)
         rep = replicated(self.mesh)
         params = jax.tree_util.tree_map(
             lambda cur, new: cur
@@ -317,8 +321,12 @@ class PredictorTrainer:
             return False
         # Shape-metadata templates only — no device_get (see pretrain.py).
         abstract = self.state.abstract()
-        params = ckpt.restore_like(abstract.params, payload["params"])
-        opt_state = ckpt.restore_like(abstract.opt_state, payload["opt_state"])
+        adapted = ckpt.adapt_block_layout(payload["params"], abstract.params)
+        params = ckpt.restore_like(abstract.params, adapted)
+        opt_sd = ckpt.adapt_block_layout(
+            payload["opt_state"], ckpt.state_dict_template(abstract.opt_state)
+        )
+        opt_state = ckpt.restore_like(abstract.opt_state, opt_sd)
         rng = payload.get("rng")
         rng = jnp.asarray(rng, jnp.uint32) if rng is not None else jax.random.PRNGKey(1)
         state = TrainState(

@@ -113,7 +113,7 @@ class MIMPretrainer:
         mesh=None,
         dtype=None,
         seed: int = 0,
-        remat: bool = False,
+        remat: Optional[bool] = None,
     ):
         self.config = config
         self.mesh = mesh if mesh is not None else create_mesh()
@@ -121,6 +121,10 @@ class MIMPretrainer:
             # [TRAINING] dtype = float32 (reference-parity default) | bfloat16
             # (recommended on TPU: ~2x step throughput, fused kernels)
             dtype = jnp.dtype(config.training.str("dtype", "float32")).type
+        if remat is None:
+            # [TRAINING] remat: checkpoint each block (large models / big
+            # batches trade ~1 extra forward for O(depth) less live memory)
+            remat = config.training.bool("remat", False)
         self.model = build_mim_model(config, dtype=dtype, remat=remat)
 
         training = config.training
@@ -230,8 +234,13 @@ class MIMPretrainer:
         # Templates from shape metadata only — never device_get here (leaf-
         # by-leaf transfers over a tunneled runtime take minutes).
         abstract = self.state.abstract()
-        params = ckpt.restore_like(abstract.params, payload["params"])
-        opt_state = ckpt.restore_like(abstract.opt_state, payload["opt_state"])
+        # Accept checkpoints saved with either encoder layout (loop vs scan).
+        adapted = ckpt.adapt_block_layout(payload["params"], abstract.params)
+        params = ckpt.restore_like(abstract.params, adapted)
+        opt_sd = ckpt.adapt_block_layout(
+            payload["opt_state"], ckpt.state_dict_template(abstract.opt_state)
+        )
+        opt_state = ckpt.restore_like(abstract.opt_state, opt_sd)
         rng = payload.get("rng")
         rng = (
             jnp.asarray(rng, jnp.uint32) if rng is not None else jax.random.PRNGKey(1)

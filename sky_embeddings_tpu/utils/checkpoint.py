@@ -64,6 +64,42 @@ def restore_like(template: Any, state_dict: Any) -> Any:
     return serialization.from_state_dict(template, state_dict)
 
 
+def state_dict_template(tree: Any) -> Any:
+    """State-dict (plain nested dict) view of a typed tree, for use as an
+    :func:`adapt_block_layout` template."""
+    return serialization.to_state_dict(tree)
+
+
+def adapt_block_layout(params: dict, template: dict) -> dict:
+    """Convert a params dict between the loop-encoder (``block0``..``blockN``)
+    and scan-encoder (``blocks``, depth-stacked) layouts to match ``template``
+    (see ``models.layers.Encoder``). Applies recursively, so the MAE decoder's
+    nested encoder converts too. No-op when layouts already agree."""
+    from sky_embeddings_tpu.models.layers import (
+        stack_block_params,
+        unstack_block_params,
+    )
+
+    from collections.abc import Mapping
+
+    if not isinstance(params, Mapping) or not isinstance(template, Mapping):
+        return params
+    params = dict(params)
+    has_loop = any(k.startswith("block") and k[5:].isdigit() for k in params)
+    tmpl_scan = "blocks" in template
+    if has_loop and tmpl_scan:
+        depth = 1 + max(
+            int(k[5:]) for k in params if k.startswith("block") and k[5:].isdigit()
+        )
+        params = stack_block_params(params, depth)
+    elif "blocks" in params and not tmpl_scan:
+        params = unstack_block_params(params)
+    return {
+        k: adapt_block_layout(v, template[k]) if k in template else v
+        for k, v in params.items()
+    }
+
+
 def losses_to_lists(losses: dict) -> dict:
     """Normalize a restored losses dict to {str: list[float]}.
 
