@@ -268,6 +268,7 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from sky_embeddings_tpu.ops.kernels.attn_block import (
+            _use_loop_heads,
             fused_attn_block,
             xla_attn_block,
         )
@@ -288,12 +289,13 @@ class Block(nn.Module):
             and D % 128 == 0
             and N <= 256
             and D % self.num_heads == 0
-            # Mosaic compile cost grows superlinearly with the per-head
-            # unroll (3·H-way concats in the backward): H=12 compiles in
-            # tens of seconds, H=16 takes ~10 min (stash) or OOMs the
-            # compile helper (recompute). Wide-head variants (large/huge)
-            # take the XLA einsum attention until the head loop is a scan.
-            and self.num_heads <= 12
+            # <=12 heads: per-head unroll; wider: fori_loop over 128-lane
+            # head groups (kernel-side dispatch) — requires the group count
+            # to divide H (_use_loop_heads), else fall back to XLA.
+            and (
+                self.num_heads <= 12
+                or _use_loop_heads(self.num_heads, D // self.num_heads)
+            )
         ):
             # block sizes 0 -> geometry-scaled auto tiles (auto_block_b)
             x = fused_attn_block(*args, self.num_heads, 0, 0, False, self.stash)

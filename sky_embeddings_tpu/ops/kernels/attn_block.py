@@ -188,9 +188,8 @@ def _fwd_stash_kernel(
     qkv = (
         jnp.dot(y_c, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[0]
     )
-    qkv_c = qkv.astype(qkv_ref.dtype)
-    qkv_ref[:] = qkv_c
-    qkv3 = qkv_c.reshape(TB, N, 3 * D)
+    qkv3 = qkv.astype(qkv_ref.dtype).reshape(TB, N, 3 * D)
+    qkv_ref[...] = qkv3
     ctx_parts = []
     for h in range(num_heads):
         lo = h * hd
@@ -234,7 +233,7 @@ def _bwd_stash_kernel(
 
     y, xhat, rstd = _ln_forward(x2, scale, bias_ref[0])
     y_c = y.astype(wqkv_ref.dtype)
-    qkv3 = qkv_ref[:].reshape(TB, N, 3 * D)
+    qkv3 = qkv_ref[:]
 
     g_c = g2.astype(wproj_ref.dtype)
     dctx = jnp.dot(g_c, wproj_ref[:].T, preferred_element_type=jnp.float32)
@@ -293,6 +292,303 @@ def _bwd_stash_kernel(
     dbproj_ref[0] += g2.sum(axis=0)
 
 
+def _head_group(hd: int) -> int:
+    """Heads per 128-lane-aligned slab (Mosaic requires dynamic lane slices
+    to start at multiples of 128): hd=64 -> 2, hd=80 -> 8, hd=128 -> 1."""
+    g = 1
+    while (g * hd) % 128:
+        g += 1
+    return g
+
+
+def _use_loop_heads(num_heads: int, hd: int) -> bool:
+    """Mosaic compile cost grows superlinearly with the per-head unroll
+    (observed: H=12 compiles in tens of seconds, H=16 in ~10 min or OOMs the
+    compile helper). Above 12 heads the kernels iterate a fori_loop over
+    128-lane head groups instead — O(1) compile in depth of heads, measured
+    at parity with the unroll at ViT-B geometry."""
+    g = _head_group(hd)
+    return num_heads > 12 and num_heads % g == 0
+
+
+def _loop_heads_fwd(qkv_ref, ctx_s, num_heads: int, hd: int, dtype):
+    """Shared fwd head loop: qkv_ref (TB, N, 3D) sliceable ref ->
+    ctx written into ctx_s (TB, N, D). Returns probs writer hook via
+    the optional ``probs_ref`` argument of the caller (see stash kernel)."""
+    from jax.experimental import pallas as pl
+
+    D = num_heads * hd
+    G = _head_group(hd)
+    S = G * hd
+    attn_scale = hd ** -0.5
+
+    def body(j, _):
+        lo = pl.multiple_of(j * S, 128)
+        q_g = qkv_ref[:, :, pl.ds(lo, S)]
+        k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
+        v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
+        parts = []
+        for u in range(G):
+            q = q_g[:, :, u * hd:(u + 1) * hd]
+            k = k_g[:, :, u * hd:(u + 1) * hd]
+            v = v_g[:, :, u * hd:(u + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+            ctx = jax.lax.dot_general(
+                probs.astype(dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            parts.append(ctx.astype(dtype))
+        ctx_s[:, :, pl.ds(lo, S)] = jnp.concatenate(parts, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // G, body, 0)
+
+
+def _fwd_kernel_loop(
+    x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
+    qkv_s, ctx_s,
+    *, num_heads: int,
+):
+    """Loop-heads forward (wide-head models; numerics identical to
+    ``_fwd_kernel``)."""
+    TB, N, D = x_ref.shape
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    y, _, _ = _ln_forward(x2, scale_ref[0], bias_ref[0])
+    qkv = (
+        jnp.dot(y.astype(wqkv_ref.dtype), wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[0]
+    )
+    qkv_s[...] = qkv.astype(qkv_s.dtype).reshape(TB, N, 3 * D)
+    _loop_heads_fwd(qkv_s, ctx_s, num_heads, D // num_heads, wproj_ref.dtype)
+    ctx2 = ctx_s[...].reshape(TB * N, D)
+    out = (
+        jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
+    )
+    out_ref[:] = (x2 + out).reshape(TB, N, D).astype(out_ref.dtype)
+
+
+def _fwd_stash_kernel_loop(
+    x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+    out_ref, qkv_ref, probs_ref, ctx_s,
+    *, num_heads: int,
+):
+    """Loop-heads stash forward: the qkv OUTPUT ref doubles as the sliceable
+    head buffer; per-group softmax probs go to ``probs_ref`` (B, H, N, N)."""
+    from jax.experimental import pallas as pl
+
+    TB, N, D = x_ref.shape
+    hd = D // num_heads
+    G = _head_group(hd)
+    S = G * hd
+    attn_scale = hd ** -0.5
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    y, _, _ = _ln_forward(x2, scale_ref[0], bias_ref[0])
+    qkv = (
+        jnp.dot(y.astype(wqkv_ref.dtype), wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[0]
+    )
+    qkv_ref[...] = qkv.astype(qkv_ref.dtype).reshape(TB, N, 3 * D)
+
+    def body(j, _):
+        lo = pl.multiple_of(j * S, 128)
+        q_g = qkv_ref[:, :, pl.ds(lo, S)]
+        k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
+        v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
+        ctx_parts, probs_parts = [], []
+        for u in range(G):
+            q = q_g[:, :, u * hd:(u + 1) * hd]
+            k = k_g[:, :, u * hd:(u + 1) * hd]
+            v = v_g[:, :, u * hd:(u + 1) * hd]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+            probs_c = probs.astype(probs_ref.dtype)
+            probs_parts.append(probs_c)
+            ctx = jax.lax.dot_general(
+                probs_c, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            ctx_parts.append(ctx.astype(wproj_ref.dtype))
+        probs_ref[:, pl.ds(j * G, G), :, :] = jnp.stack(probs_parts, axis=1)
+        ctx_s[:, :, pl.ds(lo, S)] = jnp.concatenate(ctx_parts, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // G, body, 0)
+    ctx2 = ctx_s[...].reshape(TB * N, D)
+    out = (
+        jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
+    )
+    out_ref[:] = (x2 + out).reshape(TB, N, D).astype(out_ref.dtype)
+
+
+def _loop_heads_bwd(
+    qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads: int, hd: int, dtype
+):
+    """Shared bwd head loop. ``probs_ref`` None -> recompute softmax from
+    qkv; else read the stashed probabilities. Writes per-head dq/dk/dv into
+    ``dqkv_s`` (fp32) and the recomputed context into ``ctx_s``."""
+    from jax.experimental import pallas as pl
+
+    D = num_heads * hd
+    G = _head_group(hd)
+    S = G * hd
+    attn_scale = hd ** -0.5
+
+    def body(j, _):
+        lo = pl.multiple_of(j * S, 128)
+        q_g = qkv_ref[:, :, pl.ds(lo, S)]
+        k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
+        v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
+        dc_g = dctx_s[:, :, pl.ds(lo, S)]
+        if probs_ref is not None:
+            probs_g = probs_ref[:, pl.ds(j * G, G), :, :]
+        bd = lambda a, b, contract, batch=((0,), (0,)): jax.lax.dot_general(
+            a, b, dimension_numbers=(contract, batch),
+            preferred_element_type=jnp.float32,
+        )
+        dq_parts, dk_parts, dv_parts, ctx_parts = [], [], [], []
+        for u in range(G):
+            q = q_g[:, :, u * hd:(u + 1) * hd]
+            k = k_g[:, :, u * hd:(u + 1) * hd]
+            v = v_g[:, :, u * hd:(u + 1) * hd]
+            if probs_ref is not None:
+                probs_c = probs_g[:, u]
+                probs = probs_c.astype(jnp.float32)
+            else:
+                logits = bd(q, k, ((2,), (2,)))
+                probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+                probs_c = probs.astype(dtype)
+            ctx_parts.append(bd(probs_c, v, ((2,), (1,))).astype(dtype))
+            dc = dc_g[:, :, u * hd:(u + 1) * hd].astype(dtype)
+            dv = bd(probs_c, dc, ((1,), (1,)))
+            dp = bd(dc, v, ((2,), (2,)))
+            tmp = dp * probs
+            ds = (tmp - probs * tmp.sum(axis=-1, keepdims=True)) * attn_scale
+            ds_c = ds.astype(dtype)
+            dq_parts.append(bd(ds_c, k, ((2,), (1,))))
+            dk_parts.append(bd(ds_c, q, ((1,), (1,))))
+            dv_parts.append(dv)
+        dqkv_s[:, :, pl.ds(lo, S)] = jnp.concatenate(dq_parts, axis=-1)
+        dqkv_s[:, :, pl.ds(D + lo, S)] = jnp.concatenate(dk_parts, axis=-1)
+        dqkv_s[:, :, pl.ds(2 * D + lo, S)] = jnp.concatenate(dv_parts, axis=-1)
+        ctx_s[:, :, pl.ds(lo, S)] = jnp.concatenate(ctx_parts, axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, num_heads // G, body, 0)
+
+
+def _bwd_stash_kernel_loop(
+    x_ref, scale_ref, bias_ref, wqkv_ref, wproj_ref, qkv_ref, probs_ref, g_ref,
+    dx_ref, dscale_ref, dbias_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+    dctx_s, dqkv_s, ctx_s,
+    *, num_heads: int,
+):
+    from jax.experimental import pallas as pl
+
+    TB, N, D = x_ref.shape
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    g2 = g_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    scale = scale_ref[0]
+    y, xhat, rstd = _ln_forward(x2, scale, bias_ref[0])
+    y_c = y.astype(wqkv_ref.dtype)
+
+    g_c = g2.astype(wproj_ref.dtype)
+    dctx = jnp.dot(g_c, wproj_ref[:].T, preferred_element_type=jnp.float32)
+    dctx_s[...] = dctx.astype(dctx_s.dtype).reshape(TB, N, D)
+
+    _loop_heads_bwd(
+        qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads, D // num_heads,
+        wqkv_ref.dtype,
+    )
+    ctx2 = ctx_s[...].reshape(TB * N, D)
+    dqkv = dqkv_s[...].reshape(TB * N, 3 * D)
+    dqkv_c = dqkv.astype(wqkv_ref.dtype)
+    dy = jnp.dot(dqkv_c, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+
+    dxhat = dy * scale
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = (g2 + dx_ln).reshape(TB, N, D).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+    dscale_ref[0] += (dy * xhat).sum(axis=0)
+    dbias_ref[0] += dy.sum(axis=0)
+    dwqkv_ref[:] += jnp.dot(y_c.T, dqkv_c, preferred_element_type=jnp.float32)
+    dbqkv_ref[0] += dqkv.sum(axis=0)
+    dwproj_ref[:] += jnp.dot(ctx2.T, g_c, preferred_element_type=jnp.float32)
+    dbproj_ref[0] += g2.sum(axis=0)
+
+
+def _bwd_kernel_loop(
+    x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, g_ref,
+    dx_ref, dscale_ref, dbias_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
+    dctx_s, dqkv_s, ctx_s, qkv_s,
+    *, num_heads: int,
+):
+    """Loop-heads recompute backward: qkv re-derived into a scratch, then the
+    shared head loop with softmax recompute (``probs_ref=None``)."""
+    from jax.experimental import pallas as pl
+
+    TB, N, D = x_ref.shape
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    g2 = g_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    scale = scale_ref[0]
+    y, xhat, rstd = _ln_forward(x2, scale, bias_ref[0])
+    y_c = y.astype(wqkv_ref.dtype)
+    qkv = jnp.dot(y_c, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[0]
+    qkv_s[...] = qkv.astype(qkv_s.dtype).reshape(TB, N, 3 * D)
+
+    g_c = g2.astype(wproj_ref.dtype)
+    dctx = jnp.dot(g_c, wproj_ref[:].T, preferred_element_type=jnp.float32)
+    dctx_s[...] = dctx.astype(dctx_s.dtype).reshape(TB, N, D)
+
+    _loop_heads_bwd(
+        qkv_s, None, dctx_s, dqkv_s, ctx_s, num_heads, D // num_heads,
+        wqkv_ref.dtype,
+    )
+    ctx2 = ctx_s[...].reshape(TB * N, D)
+    dqkv = dqkv_s[...].reshape(TB * N, 3 * D)
+    dqkv_c = dqkv.astype(wqkv_ref.dtype)
+    dy = jnp.dot(dqkv_c, wqkv_ref[:].T, preferred_element_type=jnp.float32)
+
+    dxhat = dy * scale
+    m1 = dxhat.mean(axis=-1, keepdims=True)
+    m2 = (dxhat * xhat).mean(axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = (g2 + dx_ln).reshape(TB, N, D).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+    dscale_ref[0] += (dy * xhat).sum(axis=0)
+    dbias_ref[0] += dy.sum(axis=0)
+    dwqkv_ref[:] += jnp.dot(y_c.T, dqkv_c, preferred_element_type=jnp.float32)
+    dbqkv_ref[0] += dqkv.sum(axis=0)
+    dwproj_ref[:] += jnp.dot(ctx2.T, g_c, preferred_element_type=jnp.float32)
+    dbproj_ref[0] += g2.sum(axis=0)
+
+
 def _pick_block(b: int, cap: int) -> int:
     tb = 8
     while tb * 2 <= cap and b % (tb * 2) == 0:
@@ -326,8 +622,17 @@ def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, in
             vmem_limit_bytes=110 * 1024 * 1024,
         )
     row = lambda i: (0, 0)
+    hd = D // num_heads
+    if _use_loop_heads(num_heads, hd):
+        kern = functools.partial(_fwd_kernel_loop, num_heads=num_heads)
+        kwargs["scratch_shapes"] = [
+            pltpu.VMEM((tb, N, 3 * D), x.dtype),
+            pltpu.VMEM((tb, N, D), x.dtype),
+        ]
+    else:
+        kern = functools.partial(_fwd_kernel, num_heads=num_heads)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads=num_heads),
+        kern,
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -358,8 +663,14 @@ def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block
             vmem_limit_bytes=110 * 1024 * 1024,
         )
     row = lambda i: (0, 0)
+    hd = D // num_heads
+    if _use_loop_heads(num_heads, hd):
+        kern = functools.partial(_fwd_stash_kernel_loop, num_heads=num_heads)
+        kwargs["scratch_shapes"] = [pltpu.VMEM((tb, N, D), x.dtype)]
+    else:
+        kern = functools.partial(_fwd_stash_kernel, num_heads=num_heads)
     return pl.pallas_call(
-        functools.partial(_fwd_stash_kernel, num_heads=num_heads),
+        kern,
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -372,14 +683,14 @@ def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block
         ],
         out_specs=(
             pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb * N, 3 * D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (tb, num_heads, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, D), x.dtype),
-            jax.ShapeDtypeStruct((B * N, 3 * D), x.dtype),
+            jax.ShapeDtypeStruct((B, N, 3 * D), x.dtype),
             jax.ShapeDtypeStruct((B, num_heads, N, N), x.dtype),
         ),
         interpret=interpret,
@@ -411,8 +722,18 @@ def _pallas_bwd_stash(
         jax.ShapeDtypeStruct((D, D), jnp.float32),       # dwproj
         jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbproj
     )
+    hd = D // num_heads
+    if _use_loop_heads(num_heads, hd):
+        kern = functools.partial(_bwd_stash_kernel_loop, num_heads=num_heads)
+        kwargs["scratch_shapes"] = [
+            pltpu.VMEM((tb, N, D), jnp.float32),      # dctx
+            pltpu.VMEM((tb, N, 3 * D), jnp.float32),  # dqkv
+            pltpu.VMEM((tb, N, D), x.dtype),          # ctx
+        ]
+    else:
+        kern = functools.partial(_bwd_stash_kernel, num_heads=num_heads)
     return pl.pallas_call(
-        functools.partial(_bwd_stash_kernel, num_heads=num_heads),
+        kern,
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -420,7 +741,7 @@ def _pallas_bwd_stash(
             pl.BlockSpec((1, D), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 3 * D), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb * N, 3 * D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, N, 3 * D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (tb, num_heads, N, N), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -463,8 +784,19 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
         jax.ShapeDtypeStruct((D, D), jnp.float32),       # dwproj
         jax.ShapeDtypeStruct((1, D), jnp.float32),       # dbproj
     )
+    hd = D // num_heads
+    if _use_loop_heads(num_heads, hd):
+        kern = functools.partial(_bwd_kernel_loop, num_heads=num_heads)
+        kwargs["scratch_shapes"] = [
+            pltpu.VMEM((tb, N, D), jnp.float32),      # dctx
+            pltpu.VMEM((tb, N, 3 * D), jnp.float32),  # dqkv
+            pltpu.VMEM((tb, N, D), x.dtype),          # ctx
+            pltpu.VMEM((tb, N, 3 * D), x.dtype),      # qkv recompute
+        ]
+    else:
+        kern = functools.partial(_bwd_kernel, num_heads=num_heads)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads=num_heads),
+        kern,
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

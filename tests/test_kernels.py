@@ -330,3 +330,73 @@ def test_multi_query_bank_topk():
         s1, i1 = bank_topk(bank, targets[q], weights[q], 7)
         np.testing.assert_allclose(np.asarray(scores_m[q]), np.asarray(s1), atol=2e-5)
         np.testing.assert_array_equal(np.asarray(idx_m[q]), np.asarray(i1))
+
+
+# ----------------------------------------------------------------------
+# Loop-heads attention kernels (wide-head models, H > 12)
+# ----------------------------------------------------------------------
+
+def _wide_attn_inputs(B=8, N=17, D=256, seed=9):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=D).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.normal(size=D).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.04)
+    bqkv = jnp.asarray(0.01 * rng.normal(size=3 * D).astype(np.float32))
+    wproj = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.04)
+    bproj = jnp.asarray(0.01 * rng.normal(size=D).astype(np.float32))
+    return x, scale, bias, wqkv, bqkv, wproj, bproj
+
+
+def test_loop_heads_mode_selected():
+    from sky_embeddings_tpu.ops.kernels.attn_block import _head_group, _use_loop_heads
+
+    assert _head_group(64) == 2     # ViT-B/L head dim
+    assert _head_group(80) == 8     # ViT-H head dim
+    assert _head_group(128) == 1
+    assert not _use_loop_heads(12, 64)   # ViT-B: unroll
+    assert _use_loop_heads(16, 64)       # ViT-L: loop
+    assert _use_loop_heads(16, 80)       # ViT-H: loop (groups of 8)
+
+
+def test_loop_heads_forward_parity():
+    """H=16, hd=16 -> group=8, 2 loop iterations; vs the XLA oracle."""
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        _use_loop_heads,
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    assert _use_loop_heads(16, 16)
+    args = _wide_attn_inputs()
+    out_k = fused_attn_block(*args, 16, 4, 4, True)
+    out_x = xla_attn_block(*args, 16)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
+
+
+def test_loop_heads_backward_parity_both_modes():
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    args = _wide_attn_inputs()
+    g = jnp.asarray(
+        np.random.default_rng(10).normal(size=args[0].shape).astype(np.float32)
+    )
+
+    def loss_x(*a):
+        return (xla_attn_block(*a, 16) * g).sum()
+
+    grads_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    names = ["x", "scale", "bias", "wqkv", "bqkv", "wproj", "bproj"]
+    for stash in (False, True):
+        def loss_k(*a):
+            return (fused_attn_block(*a, 16, 4, 4, True, stash) * g).sum()
+
+        grads_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+        for name, gk, gx in zip(names, grads_k, grads_x):
+            np.testing.assert_allclose(
+                np.asarray(gk), np.asarray(gx), atol=5e-4, rtol=1e-3,
+                err_msg=f"grad mismatch for {name} (stash={stash})",
+            )
