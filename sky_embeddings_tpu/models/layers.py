@@ -289,9 +289,10 @@ class Block(nn.Module):
             and D % 128 == 0
             and N <= 256
             and D % self.num_heads == 0
-            # <=12 heads: per-head unroll; wider: fori_loop over 128-lane
-            # head groups (kernel-side dispatch) — requires the group count
-            # to divide H (_use_loop_heads), else fall back to XLA.
+            # fori_loop over 128-lane head groups when the group count
+            # divides H (the usual case; kernel-side dispatch), per-head
+            # unroll for small head counts otherwise, XLA einsums for
+            # head counts with neither decomposition.
             and (
                 self.num_heads <= 12
                 or _use_loop_heads(self.num_heads, D // self.num_heads)

@@ -302,13 +302,14 @@ def _head_group(hd: int) -> int:
 
 
 def _use_loop_heads(num_heads: int, hd: int) -> bool:
-    """Mosaic compile cost grows superlinearly with the per-head unroll
-    (observed: H=12 compiles in tens of seconds, H=16 in ~10 min or OOMs the
-    compile helper). Above 12 heads the kernels iterate a fori_loop over
-    128-lane head groups instead — O(1) compile in depth of heads, measured
-    at parity with the unroll at ViT-B geometry."""
+    """Prefer the fori_loop-over-head-groups form whenever the group count
+    divides H: measured slightly faster than the full unroll even at ViT-B
+    (10.5 vs 11.0 ms/layer fwd+bwd) and it compiles in O(1) of the head
+    count — the unroll's Mosaic compile cost grows superlinearly (H=12 tens
+    of seconds, H=16 ~10 min or compile-helper OOM). The unroll remains the
+    fallback for head counts with no 128-lane group decomposition."""
     g = _head_group(hd)
-    return num_heads > 12 and num_heads % g == 0
+    return num_heads % g == 0 and g <= num_heads
 
 
 def _loop_heads_fwd(qkv_ref, ctx_s, num_heads: int, hd: int, dtype):

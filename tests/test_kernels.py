@@ -354,9 +354,10 @@ def test_loop_heads_mode_selected():
     assert _head_group(64) == 2     # ViT-B/L head dim
     assert _head_group(80) == 8     # ViT-H head dim
     assert _head_group(128) == 1
-    assert not _use_loop_heads(12, 64)   # ViT-B: unroll
+    assert _use_loop_heads(12, 64)       # ViT-B: loop (groups of 2)
     assert _use_loop_heads(16, 64)       # ViT-L: loop
     assert _use_loop_heads(16, 80)       # ViT-H: loop (groups of 8)
+    assert not _use_loop_heads(4, 12)    # tiny test geometry: unroll
 
 
 def test_loop_heads_forward_parity():
@@ -372,6 +373,12 @@ def test_loop_heads_forward_parity():
     out_k = fused_attn_block(*args, 16, 4, 4, True)
     out_x = xla_attn_block(*args, 16)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
+
+    # hd=64 (the ViT-B/L head dim -> pairs of heads per 128-lane slab)
+    assert _use_loop_heads(4, 64)
+    out_k4 = fused_attn_block(*args, 4, 4, 4, True)
+    out_x4 = xla_attn_block(*args, 4)
+    np.testing.assert_allclose(np.asarray(out_k4), np.asarray(out_x4), atol=2e-5)
 
 
 def test_loop_heads_backward_parity_both_modes():
