@@ -139,9 +139,13 @@ class JEPATrainer:
         ema0, ema1 = self.ema0, self.ema1
         mask_params = self.mask_params
 
-        def step(state: JEPAState, imgs, ra_dec):
+        def step(state: JEPAState, imgs, ra_dec, idx=None):
             del ra_dec  # position conditioning not part of I-JEPA
             rng, k_mask, k_next = jax.random.split(state.rng, 3)
+            if not train and idx is not None:
+                # fresh block masks per val batch and per eval pass (same
+                # convention as make_mim_step)
+                k_mask = jax.random.fold_in(jax.random.fold_in(k_mask, idx), state.step)
             masks = sample_block_masks(
                 k_mask, imgs.shape[0], model.grid_size, **mask_params
             )
@@ -192,8 +196,10 @@ class JEPATrainer:
         self.state, loss = self._train_step(self.state, batch["cutouts"], batch["ra_dec"])
         return loss
 
-    def eval_batch(self, batch: dict):
-        _, loss = self._eval_step(self.state, batch["cutouts"], batch["ra_dec"])
+    def eval_batch(self, batch: dict, idx: int = 0):
+        _, loss = self._eval_step(
+            self.state, batch["cutouts"], batch["ra_dec"], jnp.int32(idx)
+        )
         return loss
 
     # ------------------------------------------------------------------

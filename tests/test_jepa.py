@@ -99,6 +99,13 @@ def test_jepa_trainer_step_and_ema():
     )
     losses = [float(trainer.train_batch(batch)) for _ in range(3)]
     assert all(np.isfinite(losses))
+    # the shared train_network val pass calls eval_batch(batch, idx=i) —
+    # regression for the signature (caught live on a TPU smoke run) — and
+    # different idx values must draw different val masks
+    ev0 = float(trainer.eval_batch(batch, idx=0))
+    ev1 = float(trainer.eval_batch(batch, idx=1))
+    assert np.isfinite(ev0) and np.isfinite(ev1)
+    assert ev0 != ev1
     t1 = jax.device_get(trainer.state.target_params)
     p1 = jax.device_get(trainer.state.params["encoder"])
     a = jax.tree_util.tree_leaves(t1)[0]
