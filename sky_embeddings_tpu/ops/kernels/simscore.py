@@ -24,14 +24,15 @@ multiple object classes searched in one survey pass) the scores are
     prods = X² @ Wᵀ          (N, Q)
     score = dots / (sqrt(prods)·||t||_w + eps)
 
-Measured head-to-head on a v5e (1M×768 fp32 bank): XLA 8.4/11.5/12.6 ms at
-Q=1/8/64 vs the one-pass Pallas kernel's flat ~20 ms — XLA already amortizes
-the bank read across the fused (N,Q) contraction, while the kernel's narrow
-(768×Qp) per-tile matmuls run far below MXU efficiency. The multi-query
-dispatch therefore uses XLA; the kernel is kept parity-tested as the base
-for a future wide-Q (≥256) regime where one-pass wins. The *survey-scale*
-amortization lives elsewhere: ``eval/simsearch.mim_simsearch_multi`` shares
-the encoder pass (~110 ms/batch vs ~7 ms scoring) across G targets.
+Measured head-to-head on a v5e (1M×768 fp32 bank): XLA 8.4/11.5/12.6/19.8 ms
+at Q=1/8/64/256 vs the one-pass Pallas kernel's 20/26 ms — XLA already
+amortizes the bank read across the fused (N,Q) contraction, while the
+kernel's narrow (768×Qp) per-tile matmuls run below MXU efficiency at every
+measured Q. The multi-query dispatch therefore uses XLA unconditionally; the
+kernel is kept parity-tested as documentation of the tried-and-rejected
+design. The *survey-scale* amortization lives elsewhere:
+``eval/simsearch.mim_simsearch_multi`` shares the encoder pass
+(~110 ms/batch vs ~7 ms scoring) across G targets.
 Top-k runs on the (N, Q) scores with ``jax.lax.top_k`` (neither ``top_k``
 nor ``sort`` is lowerable inside Mosaic kernels as of jax 0.9).
 """
