@@ -16,10 +16,11 @@ Two backward strategies, chosen by the ``stash`` flag:
 * ``stash=True`` (throughput): the differentiation-path forward also writes
   the fc1 pre-activation ``a`` (bf16, (B·N, F)) to HBM — the write overlaps
   with the MXU-bound matmuls — and the backward skips the fc1 recompute
-  matmul (2·M·D·F FLOPs, the single largest recompute term). Measured on
-  v5e at ViT-B geometry this takes the backward from ~9.2 to ~7.4 ms/layer
-  for ~400 MB/layer of HBM stash. Inference calls never pay the stash write
-  (the custom_vjp primal uses the plain forward).
+  matmul (2·M·D·F FLOPs). Measured on v5e at ViT-B geometry the saving is
+  only ~0.5 ms/layer fwd+bwd (the stash traffic eats most of the matmul
+  win) for ~400 MB/layer of HBM, so it is OFF by default (models/layers
+  MlpBlock); the attention stash is the one that pays. Inference calls
+  never pay the stash write (the custom_vjp primal uses the plain forward).
 
 GELU is the exact (erf) form; Mosaic has no erf lowering, so erf uses the
 Abramowitz–Stegun 7.1.26 rational approximation (|err| ≤ 1.5e-7 — below fp32
