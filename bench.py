@@ -154,6 +154,53 @@ def bench_end_to_end(B, step, params, opt_state, key, n_steps=10):
     return B * n_steps / dt, loader_rate, h2d_mb_s
 
 
+def bench_extraction(B=1024, n=20):
+    """Encoder-only embedding extraction (BASELINE.json tracked metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    model = SkyMIM(img_size=64, patch_size=8, in_chans=5, embed_dim=768,
+                   depth=12, num_heads=12, simmim=True, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(key, (B, 5, 64, 64), jnp.float32)
+    variables = jax.jit(model.init)(key, imgs[:2], mask=jnp.zeros((2, 5, 64, 64)))
+
+    @jax.jit
+    def extract(vs, imgs):
+        tokens, _, _ = model.apply(vs, imgs, method=SkyMIM.encode)
+        return tokens
+
+    out = extract(variables, imgs)
+    float(out.ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = extract(variables, imgs)
+    float(out.ravel()[0])
+    return B * n / (time.perf_counter() - t0)
+
+
+def bench_retrieval(n_bank=1_000_000, d=768, n=20):
+    """Weighted-cosine top-300 over a survey-scale bank (tracked metric)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.ops.kernels.simscore import bank_topk
+
+    key = jax.random.PRNGKey(0)
+    bank = jax.random.normal(key, (n_bank, d), jnp.float32)
+    tgt = jax.random.normal(jax.random.PRNGKey(1), (d,), jnp.float32)
+    w = jax.random.uniform(jax.random.PRNGKey(2), (d,), jnp.float32) + 0.1
+    vals, _ = bank_topk(bank, tgt, w, 300)
+    float(vals[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        vals, _ = bank_topk(bank, tgt, w, 300)
+    float(vals[0])
+    return n / (time.perf_counter() - t0)
+
+
 def main():
     B, step, params, opt_state, imgs, key = _build()
     dev_rate, params, opt_state, key = bench_device_step(
@@ -163,6 +210,14 @@ def main():
         e2e = bench_end_to_end(B, step, params, opt_state, key)
     except Exception:
         e2e = None
+    try:
+        extract_rate = bench_extraction()
+    except Exception:
+        extract_rate = None
+    try:
+        retrieval_qps = bench_retrieval()
+    except Exception:
+        retrieval_qps = None
 
     baseline = A100_REFERENCE_IMG_PER_SEC * TARGET_MULTIPLIER
     out = {
@@ -184,6 +239,10 @@ def main():
             "h2d-link" if h2d_mb_s < img_mb * min(dev_rate, loader_rate)
             else ("host-loader" if loader_rate < dev_rate else "device-step")
         )
+    if extract_rate is not None:
+        out["extraction_img_per_sec"] = round(extract_rate, 1)
+    if retrieval_qps is not None:
+        out["retrieval_queries_per_sec_1m_bank"] = round(retrieval_qps, 1)
     print(json.dumps(out))
 
 
