@@ -1,24 +1,36 @@
 """Fused attention block kernel: LN → qkv → attention → proj → residual.
 
-Round-1 profiling showed the attention *backward* dominating the train step
-(~12.6 ms/layer at ViT-B B=1024) and its custom-vjp stashing the fused qkv
-activations (~3.7 GB at B=1024 bf16), capping the batch size. This kernel
-fuses the whole pre-norm attention sub-block
+Fuses the whole pre-norm attention sub-block
 
     out = x + W_proj · attn(W_qkv · LN(x))
 
-into one Pallas call per direction, with a **recompute backward**: the only
-residual saved between forward and backward is ``x`` itself ((B, N, D) bf16 —
-26× smaller than the round-1 qkv stash per layer). The backward re-derives
-LN, qkv and the softmax probabilities in VMEM from ``x`` — the recompute is
-two large MXU matmuls plus the small per-head attention math, far cheaper
-than the HBM round-trips it replaces.
+into one Pallas call per direction. Two backward strategies (``stash``
+flag; see ``fused_attn_block``):
 
-Layout notes (same reasoning as ``attention.py``):
+* **recompute** (``stash=False``): only ``x`` is saved; the backward
+  re-derives LN, qkv and the softmax probabilities in VMEM. Lowest memory
+  — the right mode under ``remat``.
+* **stash** (``stash=True``, the training default): the differentiation-
+  path forward also writes qkv and the per-head softmax probabilities
+  (bf16) to HBM — writes that overlap the MXU-bound matmuls — and the
+  backward skips their recompute. Measured on v5e at ViT-B B=1024:
+  fwd+bwd 13.7 → 10.5 ms/layer for ~400 MB/layer of stash.
+
+Head-math strategies (kernel-side dispatch, ``_use_loop_heads``):
+
+* **loop** (default whenever the 128-lane head-group count divides H):
+  a ``fori_loop`` over head groups (2 heads/iter at hd=64, 8 at hd=80)
+  slicing qkv/ctx VMEM scratch refs at 128-aligned lane offsets. Compiles
+  in O(1) of the head count and measured slightly faster than the unroll.
+* **unroll**: static per-head loop with lane-axis slices — fallback for
+  head counts with no aligned group decomposition (tiny test geometries).
+  Its Mosaic compile cost grows superlinearly with H (H=16 takes ~10 min
+  or OOMs the compile helper — the reason the loop form exists).
+
+Layout notes:
 * sequences are short (≤ ~70 tokens), so a (batch-tile, ·) slab of every
-  intermediate fits VMEM;
-* heads are unrolled in a static loop and sliced on the feature (lane) axis —
-  no reshapes/transposes across tiled dims;
+  intermediate fits VMEM; batch tiles shrink automatically for wider
+  models (``auto_block_b``);
 * LN statistics, softmax, bias adds and all matmul accumulations are fp32;
   matmul operands are the input dtype (bf16 in the training configs);
 * parameter gradients accumulate across the (sequential) grid in fp32
