@@ -614,12 +614,16 @@ def auto_block_b(B: int, D: int, base: int) -> int:
     kernel's VMEM footprint grows with tb·N·D activations over a fixed D²
     weight+grad term; the ViT-B tiles (fwd 32 / bwd 16 at D=768) shrink
     quadratically for wider models — at D=1024 the ViT-B tiles exceed the
-    budget (observed compile OOM)."""
+    budget (observed compile OOM). Sub-8 caps are honored (the ViT-H/mimhuge
+    backward at D≥1100 shrinks to tb=4) — unlike ``_pick_block``, which
+    starts at 8 and would silently raise the VMEM-motivated cap back up."""
     scale = (768.0 / D) ** 2
     tb = base
     while tb > 4 and tb > base * scale:
         tb //= 2
-    return _pick_block(B, tb)
+    while tb > 1 and B % tb:
+        tb //= 2
+    return max(min(tb, B), 1)
 
 
 def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret):

@@ -30,9 +30,14 @@ def _spec_for(path: tuple[str, ...]) -> P:
     names = [p for p in path]
     leaf = names[-1]
     parent = names[-2] if len(names) > 1 else ""
-    # Scan-encoder params ('blocks' scope) carry a leading depth axis —
-    # prepend an unsharded dim to whatever the base rule says.
-    stacked = "blocks" in names
+    # Scan-encoder params (the consecutive 'blocks'/'block' scope pair from
+    # nn.scan in models/layers.py) carry a leading depth axis — prepend an
+    # unsharded dim to whatever the base rule says. Matching 'blocks' alone
+    # would also catch the JEPA predictor's loop-layout encoder, whose flax
+    # scope is literally named 'blocks' but whose kernels are rank-2.
+    stacked = any(
+        a == "blocks" and b == "block" for a, b in zip(names, names[1:])
+    )
 
     def out(spec: P) -> P:
         return P(None, *spec) if stacked else spec
