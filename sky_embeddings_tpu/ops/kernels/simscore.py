@@ -51,28 +51,39 @@ def _scores_kernel(bank_ref, rhs_ref, tnorm_ref, out_ref):
     """bank tile (T, D) × rhs (D, 2) -> scores tile (T,).
 
     rhs[:, 0] = w·t, rhs[:, 1] = w; tnorm = ||t||_w (scalar, SMEM).
+    The tile is upcast *in VMEM* — the bank stays in its storage dtype in
+    HBM, so a bf16 bank moves half the bytes of fp32 through the one pass
+    this kernel makes (the score math is fp32 regardless).
     """
+    tile = bank_ref[:].astype(jnp.float32)
     prod = jnp.dot(
-        bank_ref[:] ** 2, rhs_ref[:, 1:2], preferred_element_type=jnp.float32
+        tile * tile, rhs_ref[:, 1:2], preferred_element_type=jnp.float32
     )  # (T, 1): Σ w x²
-    dots = jnp.dot(bank_ref[:], rhs_ref[:, 0:1], preferred_element_type=jnp.float32)
+    dots = jnp.dot(tile, rhs_ref[:, 0:1], preferred_element_type=jnp.float32)
     mag = jnp.sqrt(prod) * tnorm_ref[0, 0]
     out_ref[:] = (dots / (mag + 1e-6))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_n"))
 def weighted_bank_scores_pallas(
-    bank: jnp.ndarray, target: jnp.ndarray, weights: jnp.ndarray, interpret: bool = False
+    bank: jnp.ndarray,
+    target: jnp.ndarray,
+    weights: jnp.ndarray,
+    interpret: bool = False,
+    tile_n: int = TILE_N,
 ) -> jnp.ndarray:
-    """(N, D) bank, (D,) target, (D,) weights -> (N,) weighted cosine."""
+    """(N, D) bank, (D,) target, (D,) weights -> (N,) weighted cosine.
+
+    The bank is consumed in its storage dtype (fp32 or bf16) — no fp32
+    HBM copy is materialized; scores accumulate in fp32 either way."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, D = bank.shape
-    pad = (-N) % TILE_N
+    pad = (-N) % tile_n
     if pad:
         bank = jnp.concatenate([bank, jnp.zeros((pad, D), bank.dtype)], axis=0)
-    n_tiles = bank.shape[0] // TILE_N
+    n_tiles = bank.shape[0] // tile_n
 
     rhs = jnp.stack([weights * target, weights], axis=1).astype(jnp.float32)  # (D, 2)
     tnorm = jnp.sqrt(jnp.sum(weights * target ** 2)).reshape(1, 1)
@@ -86,15 +97,15 @@ def weighted_bank_scores_pallas(
         _scores_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE_N, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bank.shape[0],), jnp.float32),
         interpret=interpret,
         **kwargs,
-    )(bank.astype(jnp.float32), rhs, tnorm)
+    )(bank, rhs, tnorm)
     return scores[:N]
 
 
@@ -200,8 +211,19 @@ def bank_topk_multi(
 def weighted_bank_scores(
     bank: jnp.ndarray, target: jnp.ndarray, weights: jnp.ndarray
 ) -> jnp.ndarray:
-    """Fused scoring (XLA path — measured fastest; see module docstring)."""
-    return weighted_bank_scores_xla(bank, target, weights)
+    """Fused scoring, dispatched by bank storage dtype.
+
+    fp32 banks: XLA (fuses the norm epilogue into one HBM pass — measured
+    equal to the hand kernel). bf16 banks on TPU: the Pallas one-pass kernel,
+    which reads the bank in bf16 (half the bytes — this is the ~2× retrieval
+    lever, VERDICT r2 #3) and upcasts per-tile in VMEM; XLA would otherwise
+    materialize intermediate layouts at fp32. Scores are fp32 either way."""
+    if bank.dtype == jnp.bfloat16 and jax.default_backend() == "tpu":
+        return weighted_bank_scores_pallas(bank, target, weights)
+    return weighted_bank_scores_xla(
+        bank.astype(jnp.float32) if bank.dtype != jnp.float32 else bank,
+        target, weights,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -211,3 +233,62 @@ def bank_topk(
     """Top-k (scores, indices) of the weighted-cosine search over a bank."""
     scores = weighted_bank_scores(bank, target, weights)
     return jax.lax.top_k(scores, k)
+
+
+def bank_topk_chunked(
+    bank,
+    target: jnp.ndarray,
+    weights: jnp.ndarray,
+    k: int,
+    slab_rows: int = 1 << 20,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted-cosine top-k over a bank too large for device memory.
+
+    ``bank`` is any row-sliceable (N, D) array-like on the *host* — numpy
+    array, ``np.memmap``, h5py dataset. Fixed-shape slabs (one compiled
+    program) stream through :func:`bank_topk` with the next slab's
+    host→device transfer in flight while the current one scores
+    (``jax.device_put`` is async); per-slab winners merge on the host.
+    Survey use case: 100M+ cutout embeddings (SURVEY §5 long-context note)
+    vs the ~4-5M fp32 rows a 16 GB chip can hold. Reference hot path being
+    scaled: ``/root/reference/utils/similarity.py:149-212``.
+    """
+    import numpy as np
+
+    N, D = bank.shape
+    k_eff = min(k, N)
+    slab_rows = max(min(slab_rows, N), 1)
+    starts = list(range(0, N, slab_rows))
+    k_slab = min(k_eff, slab_rows)
+
+    def host_slab(s: int):
+        e = min(s + slab_rows, N)
+        arr = np.asarray(bank[s:e])
+        if e - s < slab_rows:  # pad the tail to keep the compiled shape
+            arr = np.concatenate(
+                [arr, np.zeros((slab_rows - (e - s), D), arr.dtype)], axis=0
+            )
+        return arr
+
+    dev = jax.device_put(host_slab(starts[0]))
+    per_slab = []
+    for i, s in enumerate(starts):
+        nxt = (
+            jax.device_put(host_slab(starts[i + 1]))
+            if i + 1 < len(starts)
+            else None
+        )
+        per_slab.append((s, bank_topk(dev, target, weights, k_slab)))
+        dev = nxt
+
+    all_scores, all_idx = [], []
+    for s, (vals, idx) in per_slab:
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        valid = (idx + s) < N  # drop tail padding (pad rows score exactly 0)
+        all_scores.append(vals[valid])
+        all_idx.append(idx[valid] + s)
+    scores = np.concatenate(all_scores)
+    gidx = np.concatenate(all_idx)
+    order = np.argsort(-scores, kind="stable")[:k_eff]
+    return scores[order], gidx[order]

@@ -333,6 +333,113 @@ def test_multi_query_bank_topk():
 
 
 # ----------------------------------------------------------------------
+# bf16 banks + chunked survey-scale retrieval (VERDICT r2 #3)
+# ----------------------------------------------------------------------
+
+def test_bf16_bank_pallas_scores_parity():
+    """The one-pass kernel consumes a bf16 bank directly (no fp32 HBM copy);
+    scores must match the fp32 XLA oracle at bf16 storage precision."""
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        weighted_bank_scores_pallas,
+        weighted_bank_scores_xla,
+    )
+
+    rng = np.random.default_rng(13)
+    bank32 = jnp.asarray(rng.normal(size=(2048, 64)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    weights = jnp.asarray(rng.random(64).astype(np.float32) + 0.1)
+
+    want = weighted_bank_scores_xla(bank32, target, weights)
+    got16 = weighted_bank_scores_pallas(
+        bank32.astype(jnp.bfloat16), target, weights, interpret=True
+    )
+    # scores live in [-1, 1]; bf16 storage adds ~2^-8 relative input noise
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(want), atol=1.5e-2)
+    # and the same kernel at fp32 storage is exact to fp32 math
+    got32 = weighted_bank_scores_pallas(bank32, target, weights, interpret=True)
+    np.testing.assert_allclose(np.asarray(got32), np.asarray(want), atol=2e-5)
+
+
+def test_bf16_bank_topk_agreement():
+    """Top-300 from the bf16 bank must agree with the fp32 ranking at ≥0.999
+    (score-wise: every bf16 winner's fp32 score reaches the fp32 cut within
+    bf16 noise) — the acceptance bar for storing survey banks in bf16."""
+    from sky_embeddings_tpu.ops.kernels.simscore import bank_topk
+
+    rng = np.random.default_rng(14)
+    bank32 = jnp.asarray(rng.normal(size=(20000, 64)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    weights = jnp.asarray(rng.random(64).astype(np.float32) + 0.1)
+
+    vals32, idx32 = bank_topk(bank32, target, weights, 300)
+    vals16, idx16 = bank_topk(bank32.astype(jnp.bfloat16), target, weights, 300)
+
+    scores32 = np.asarray(vals32)
+    cut = scores32[-1]
+    # fp32 scores of the bf16-chosen rows
+    from sky_embeddings_tpu.ops.kernels.simscore import weighted_bank_scores_xla
+
+    full32 = np.asarray(weighted_bank_scores_xla(bank32, target, weights))
+    chosen = full32[np.asarray(idx16)]
+    agreement = float(np.mean(chosen >= cut - 5e-3))
+    assert agreement >= 0.999, f"bf16 top-300 agreement {agreement:.4f}"
+    np.testing.assert_allclose(np.asarray(vals16), scores32, atol=1.5e-2)
+
+
+def test_bank_topk_chunked_matches_monolithic():
+    """Streaming slabs (with a padded tail) must reproduce the whole-bank
+    result exactly for fp32 banks."""
+    from sky_embeddings_tpu.ops.kernels.simscore import bank_topk, bank_topk_chunked
+
+    rng = np.random.default_rng(15)
+    bank = rng.normal(size=(5000, 32)).astype(np.float32)
+    target = jnp.asarray(rng.normal(size=(32,)).astype(np.float32))
+    weights = jnp.asarray(rng.random(32).astype(np.float32) + 0.1)
+
+    want_v, want_i = bank_topk(jnp.asarray(bank), target, weights, 50)
+    got_v, got_i = bank_topk_chunked(bank, target, weights, 50, slab_rows=700)
+    np.testing.assert_allclose(got_v, np.asarray(want_v), atol=2e-5)
+    np.testing.assert_array_equal(got_i, np.asarray(want_i))
+
+
+def test_bank_topk_chunked_10m_rows():
+    """Survey scale: 10M rows streamed in 1M-row slabs (the bank never sits
+    on the device whole), verified against a direct numpy ranking."""
+    from sky_embeddings_tpu.ops.kernels.simscore import bank_topk_chunked
+
+    rng = np.random.default_rng(16)
+    n, d = 10_000_000, 8
+    bank = rng.standard_normal((n, d)).astype(np.float32)
+    target = rng.standard_normal(d).astype(np.float32)
+    weights = (rng.random(d) + 0.1).astype(np.float32)
+
+    got_v, got_i = bank_topk_chunked(
+        bank, jnp.asarray(target), jnp.asarray(weights), 100, slab_rows=1 << 20
+    )
+    dots = bank @ (weights * target)
+    mags = np.sqrt((bank ** 2) @ weights)
+    tnorm = np.sqrt(np.sum(weights * target ** 2))
+    scores = dots / (mags * tnorm + 1e-6)
+    want_i = np.argsort(-scores, kind="stable")[:100]
+    assert set(got_i.tolist()) == set(want_i.tolist())
+    np.testing.assert_allclose(got_v, scores[want_i], rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_parity_gate_tool():
+    """The bench-embedded parity gate (tools/kernel_parity.py) must pass in
+    interpret mode at a small loop-heads geometry — keeps the gate itself
+    from rotting between TPU runs."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.kernel_parity import run_kernel_parity
+
+    out = run_kernel_parity(B=8, N=17, D=128, H=4, F=256, interpret=True)
+    assert out["ok"], out["checks"]
+
+
+# ----------------------------------------------------------------------
 # Loop-heads attention kernels (wide-head models, H > 12)
 # ----------------------------------------------------------------------
 
