@@ -32,6 +32,7 @@ vs_baseline = measured/(5·600); ≥1.0 meets the target.
 
 import json
 import os
+import sys
 import time
 
 A100_REFERENCE_IMG_PER_SEC = 600.0
@@ -154,6 +155,138 @@ def bench_end_to_end(B, step, params, opt_state, key, n_steps=10):
     return B * n_steps / dt, loader_rate, h2d_mb_s
 
 
+def vit_train_gflops_per_img(
+    depth: int, d: int, n_tokens: int, mlp_ratio: float = 4.0,
+    dec_depth: int = 0, dec_d: int = 0, dec_tokens: int = 0,
+    patch_in: int = 0, bwd_mult: float = 3.0,
+) -> float:
+    """Model-FLOPs per image for a ViT encoder(+optional MAE decoder) train
+    step: per layer 2·N·D·(4D + 2F) dense + 4·N²·D attention math; fwd+bwd
+    = ``bwd_mult``× forward. ``patch_in`` adds the patchify/pred projections.
+    Reproduces the hardcoded 34 GF for SimMIM ViT-B (12×768, N=65)."""
+    def enc(L, D, N, ratio=mlp_ratio):
+        f = D * ratio
+        return L * (2 * N * D * (4 * D + 2 * f) + 4 * N * N * D)
+
+    fl = enc(depth, d, n_tokens)
+    if dec_depth:
+        fl += enc(dec_depth, dec_d, dec_tokens)
+        fl += 2 * dec_tokens * d * dec_d          # decoder_embed
+        fl += 2 * dec_tokens * dec_d * patch_in   # decoder_pred
+    if patch_in:
+        fl += 2 * n_tokens * patch_in * d         # patch embed
+        if not dec_depth:                          # simmim 1x1-conv decoder
+            fl += 2 * n_tokens * d * patch_in
+    return fl * bwd_mult / 1e9
+
+
+def _time_train_step(model, B, n_steps, rng_mask=False, in_chans=5, img=64,
+                     ra_dec=False):
+    """Compile + time a full train step (mask gen, fwd, bwd, AdamW) at B."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sky_embeddings_tpu.ops.masking import simmim_batch_mask
+    from sky_embeddings_tpu.train.optim import pretrain_optimizer
+    from sky_embeddings_tpu.train.schedules import cosine_annealing
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(key, (B, in_chans, img, img), jnp.float32)
+    rd = jnp.zeros((B, 2), jnp.float32) if ra_dec else None
+    kw = dict(ra_dec=rd) if ra_dec else {}
+    init_rngs = {"params": key, "mask": key} if rng_mask else key
+    variables = jax.jit(model.init)(
+        init_rngs, imgs[:2], mask=jnp.zeros((2, in_chans, img, img)),
+        **({"ra_dec": rd[:2]} if ra_dec else {}),
+    )
+    params = variables["params"]
+    tx = pretrain_optimizer(params, cosine_annealing(1e-4, 10_000, 1e4), 0.05)
+    opt_state = jax.jit(tx.init)(params)
+
+    @jax.jit
+    def step(params, opt_state, imgs, key):
+        k_mask, k_next = jax.random.split(key)
+
+        def loss_fn(p):
+            if rng_mask:  # MAE: token masking drawn from the rng stream
+                loss, _, _ = model.apply(
+                    {"params": p}, imgs, rngs={"mask": k_mask}, **kw
+                )
+            else:
+                mask = simmim_batch_mask(
+                    k_mask, imgs.shape[0], in_chans, img, model.patch_size, 0.9
+                )
+                loss, _, _ = model.apply({"params": p}, imgs, mask=mask, **kw)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, k_next
+
+    params, opt_state, loss, key = step(params, opt_state, imgs, key)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss, key = step(params, opt_state, imgs, key)
+    float(loss)
+    return B * n_steps / (time.perf_counter() - t0)
+
+
+def bench_mae(B=1024, n_steps=20):
+    """MAE-mode pretraining (token dropping at mask_ratio 0.75: the encoder
+    sees 17 of 65 tokens; 512-d 8-deep decoder over the full sequence —
+    reference ``mim_vit.py:440-471`` semantics). Returns (img/s, GF/img)."""
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    model = SkyMIM(
+        img_size=64, patch_size=8, in_chans=5, embed_dim=768, depth=12,
+        num_heads=12, simmim=False, norm_pix_loss=True, loss_fn="l1",
+        mask_ratio=0.75, dtype=jnp.bfloat16,
+    )
+    gflop = vit_train_gflops_per_img(
+        12, 768, 17, dec_depth=8, dec_d=512, dec_tokens=65, patch_in=320
+    )
+    rate = _time_train_step(model, B, n_steps, rng_mask=True)
+    return rate, gflop
+
+
+def bench_vit_l(B=256, n_steps=10):
+    """ViT-L at the shipped ``mim_32`` geometry (mimlarge: 24×1024/16h,
+    9-band, ra_dec token), scan encoder + fused loop-heads kernels."""
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    model = SkyMIM(
+        img_size=64, patch_size=8, in_chans=9, embed_dim=1024, depth=24,
+        num_heads=16, simmim=True, norm_pix_loss=True, loss_fn="l1",
+        ra_dec=True, dtype=jnp.bfloat16, scan_blocks=True,
+    )
+    gflop = vit_train_gflops_per_img(24, 1024, 66, patch_in=576)
+    rate = _time_train_step(model, B, n_steps, in_chans=9, ra_dec=True)
+    return rate, gflop
+
+
+def bench_vit_h(B=128, n_steps=5):
+    """ViT-H (mimhuge: 32×1280/16h, reference ``mim_vit.py:603-612``) at the
+    mim_32 data geometry — the VERDICT r2 #2 'record ViT-H' row."""
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    model = SkyMIM(
+        img_size=64, patch_size=8, in_chans=9, embed_dim=1280, depth=32,
+        num_heads=16, simmim=True, norm_pix_loss=True, loss_fn="l1",
+        ra_dec=True, dtype=jnp.bfloat16, scan_blocks=True, remat=True,
+    )
+    gflop = vit_train_gflops_per_img(32, 1280, 66, patch_in=576)
+    rate = _time_train_step(model, B, n_steps, in_chans=9, ra_dec=True)
+    return rate, gflop
+
+
 def bench_extraction(B=1024, n=20):
     """Encoder-only embedding extraction (BASELINE.json tracked metric)."""
     import jax
@@ -182,23 +315,43 @@ def bench_extraction(B=1024, n=20):
 
 
 def bench_retrieval(n_bank=1_000_000, d=768, n=20):
-    """Weighted-cosine top-300 over a survey-scale bank (tracked metric)."""
+    """Weighted-cosine top-300 over a survey-scale bank (tracked metric).
+
+    The production bank format is bf16 (half the HBM bytes through the
+    one-pass Pallas kernel — VERDICT r2 #3); fp32 agreement of the bf16
+    top-300 is verified in the same run and reported alongside.
+    """
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
-    from sky_embeddings_tpu.ops.kernels.simscore import bank_topk
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        bank_topk,
+        weighted_bank_scores_xla,
+    )
 
     key = jax.random.PRNGKey(0)
-    bank = jax.random.normal(key, (n_bank, d), jnp.float32)
+    bank32 = jax.random.normal(key, (n_bank, d), jnp.float32)
+    bank = bank32.astype(jnp.bfloat16)
     tgt = jax.random.normal(jax.random.PRNGKey(1), (d,), jnp.float32)
     w = jax.random.uniform(jax.random.PRNGKey(2), (d,), jnp.float32) + 0.1
+
+    # agreement gate: every bf16 winner's fp32 score reaches the fp32 cut
+    vals32, _ = bank_topk(bank32, tgt, w, 300)
+    _, idx16 = bank_topk(bank, tgt, w, 300)
+    full32 = np.asarray(weighted_bank_scores_xla(bank32, tgt, w))
+    cut = float(np.asarray(vals32)[-1])
+    agreement = float(np.mean(full32[np.asarray(idx16)] >= cut - 5e-3))
+    del bank32, full32
+
     vals, _ = bank_topk(bank, tgt, w, 300)
     float(vals[0])
     t0 = time.perf_counter()
     for _ in range(n):
         vals, _ = bank_topk(bank, tgt, w, 300)
     float(vals[0])
-    return n / (time.perf_counter() - t0)
+    return n / (time.perf_counter() - t0), agreement
 
 
 def main():
@@ -206,18 +359,31 @@ def main():
     dev_rate, params, opt_state, key = bench_device_step(
         B, step, params, opt_state, imgs, key
     )
-    try:
-        e2e = bench_end_to_end(B, step, params, opt_state, key)
-    except Exception:
-        e2e = None
-    try:
-        extract_rate = bench_extraction()
-    except Exception:
-        extract_rate = None
-    try:
-        retrieval_qps = bench_retrieval()
-    except Exception:
-        retrieval_qps = None
+    def _attempt(name, fn, *a, **kw):
+        # A failed stage must be attributable, not a silently-missing key.
+        try:
+            return fn(*a, **kw)
+        except Exception as e:
+            import traceback
+            print(f"bench stage '{name}' failed: {e!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            errors[name] = repr(e)
+            return None
+
+    errors: dict = {}
+    e2e = _attempt("end_to_end", bench_end_to_end, B, step, params, opt_state, key)
+    extract_rate = _attempt("extraction", bench_extraction)
+    retrieval = _attempt("retrieval", bench_retrieval)
+    mae = _attempt("mae", bench_mae)
+    vit_l = _attempt("vit_l", bench_vit_l)
+    vit_h = _attempt("vit_h", bench_vit_h)
+
+    def _parity():
+        from tools.kernel_parity import run_kernel_parity
+
+        return run_kernel_parity()
+
+    parity = _attempt("kernel_parity", _parity)
 
     baseline = A100_REFERENCE_IMG_PER_SEC * TARGET_MULTIPLIER
     out = {
@@ -241,8 +407,25 @@ def main():
         )
     if extract_rate is not None:
         out["extraction_img_per_sec"] = round(extract_rate, 1)
-    if retrieval_qps is not None:
+    if retrieval is not None:
+        retrieval_qps, agreement = retrieval
         out["retrieval_queries_per_sec_1m_bank"] = round(retrieval_qps, 1)
+        out["retrieval_bf16_top300_agreement"] = round(agreement, 4)
+    def _mfu(rate, gflop):
+        return round(rate * gflop / (PEAK_BF16_TFLOPS * 1e3) * 100, 1)
+
+    for name, res in (("mae", mae), ("vit_l", vit_l), ("vit_h", vit_h)):
+        if res is not None:
+            rate, gflop = res
+            out[f"{name}_img_per_sec"] = round(rate, 1)
+            out[f"{name}_mfu_pct"] = _mfu(rate, gflop)
+    if parity is not None:
+        out["kernel_parity_ok"] = parity["ok"]
+        out["kernel_parity_max_err"] = max(
+            c["err"] for c in parity["checks"].values()
+        )
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
