@@ -76,6 +76,10 @@ class SkyMIM(nn.Module):
     # layers.Encoder). Checkpoint layouts convert via
     # layers.stack_block_params / unstack_block_params.
     scan_blocks: bool = False
+    # Stashed-residual attention backward (bf16 qkv+probs saved in the fwd;
+    # see ops/kernels/attn_block.py). A/B-validated for convergence by
+    # tools/ab_stash_convergence.py (PARITY #17).
+    stash: bool = True
 
     # ------------------------------------------------------------------
     @property
@@ -103,7 +107,7 @@ class SkyMIM(nn.Module):
             self.ra_dec_embed = LocationEncoder(out_dim=self.embed_dim)
         self.encoder = Encoder(
             self.depth, self.num_heads, self.mlp_ratio, dtype=self.dtype,
-            remat=self.remat, scan=self.scan_blocks,
+            remat=self.remat, scan=self.scan_blocks, stash=self.stash,
         )
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         # Trainable per-pixel fill for NaN / masked pixels (ref mim_vit.py:239).
