@@ -74,6 +74,31 @@ def evaluate_model(model_name, config_dir, model_dir, data_dir):
     return num_train, {"bias": bias, "mad": mad, "outlier_frac": fout}
 
 
+def family_configs(config_dir: str, family: str) -> list:
+    """Config names in a sweep family.
+
+    ``cls_ft`` matches ``cls_ft_<size>`` (the bare size token only, so the
+    suffix families stay out of the base sweep); ``cls_ft_wide`` /
+    ``cls_ft_large`` match ``cls_ft_<size>_wide`` / ``_large`` — the
+    reference's 'Fine-tuning (Wide)' and '(Wide+Large)' categories
+    (``compare_predictors.py:23-31``).
+    """
+    names = [
+        os.path.splitext(os.path.basename(p))[0]
+        for p in sorted(glob.glob(os.path.join(config_dir, "*.ini")))
+    ]
+    out = []
+    base, _, suffix = family.rpartition("_")
+    for name in names:
+        if name.startswith(family + "_") and "_" not in name[len(family) + 1 :]:
+            out.append(name)  # cls_ft -> cls_ft_1k
+        elif base and name.startswith(base + "_") and name.endswith("_" + suffix):
+            size = name[len(base) + 1 : -(len(suffix) + 1)]
+            if size and "_" not in size:
+                out.append(name)  # cls_ft_wide -> cls_ft_1k_wide
+    return out
+
+
 def main():
     args = parse_args()
     cur_dir = os.path.dirname(os.path.abspath(__file__))
@@ -85,8 +110,7 @@ def main():
 
     results: dict = defaultdict(list)  # family -> [(num_train, metrics)]
     for family in args.families:
-        for cfg_path in sorted(glob.glob(os.path.join(config_dir, f"{family}_*.ini"))):
-            name = os.path.splitext(os.path.basename(cfg_path))[0]
+        for name in family_configs(config_dir, family):
             try:
                 out = evaluate_model(name, config_dir, model_dir, data_dir)
             except Exception as e:

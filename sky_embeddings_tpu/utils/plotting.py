@@ -21,6 +21,31 @@ except ImportError:  # pragma: no cover
     plt = None
 
 
+def set_latex_style(enable: bool = True) -> None:
+    """Reference-style LaTeX figure text (``plotting_fns.py:9-13``), opt-in:
+    unlike the reference, the default is off so headless TPU pods without a
+    TeX install still render figures. Enable per-process with
+    ``SKY_LATEX_PLOTS=1`` or by calling this before plotting."""
+    if plt is None:
+        return
+    if enable:
+        plt.rcParams.update({
+            "text.usetex": True,
+            "font.family": "serif",
+            "font.serif": ["Times"],
+            "font.size": 10,
+        })
+    else:
+        plt.rcParams.update({"text.usetex": False})
+
+
+if plt is not None:
+    import os as _os
+
+    if _os.environ.get("SKY_LATEX_PLOTS"):
+        set_latex_style(True)
+
+
 def _needs_mpl(fn):
     def wrapper(*args, **kwargs):
         if plt is None:
