@@ -122,7 +122,11 @@ class SkyMIM(nn.Module):
                 self.pool = AttentionPoolLatent(self.num_heads, self.mlp_ratio, dtype=self.dtype)
                 self.dec_upsample = self.img_size
             else:
-                self.dec_upsample = self.grid_size
+                # PixelShuffle upsample = the encoder stride (each token
+                # predicts its own patch_size² tile — ref mim_vit.py:244-264).
+                # NOT grid_size: equal only at the shipped 64px/p8 geometry
+                # (8×8 grid of 8px patches), which masked this for two rounds.
+                self.dec_upsample = self.patch_size
             # 1×1 conv + PixelShuffle ≡ one Dense per token + block reshape.
             self.decoder_pred = nn.Dense(
                 self.dec_upsample ** 2 * self.in_chans,

@@ -42,6 +42,20 @@ def test_simmim_forward():
     np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(mask))
 
 
+def test_simmim_forward_rectangular_geometry():
+    """grid_size != patch_size (img 32 / p4: 8×8 grid of 4px patches) — the
+    pixel-shuffle upsample must be the encoder stride, not the grid size
+    (regression: both were 8 at the flagship 64/p8 geometry, masking it)."""
+    model = SkyMIM(simmim=True, norm_pix_loss=True, loss_fn="l1",
+                   **{**TINY, "img_size": 32})
+    imgs = _imgs(S=32)
+    mask = simmim_batch_mask(jax.random.PRNGKey(1), 2, 3, 32, 4, 0.9)
+    variables = model.init(jax.random.PRNGKey(0), imgs, mask=mask)
+    loss, pred, _ = model.apply(variables, imgs, mask=mask)
+    assert pred.shape == imgs.shape
+    assert np.isfinite(float(loss))
+
+
 def test_simmim_attn_pool_forward():
     model = SkyMIM(simmim=True, attn_pool=True, **TINY)
     imgs = _imgs()
