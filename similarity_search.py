@@ -47,6 +47,14 @@ def parse_args():
     p.add_argument("-np", "--n_plot", type=int, default=36)
     p.add_argument("-ns", "--n_save", type=int, default=300)
     p.add_argument("-dd", "--data_dir", type=str, default=None)
+    p.add_argument("-bank", "--bank", type=str, default=None,
+                   help="embedding-bank file under results/: reuse if it "
+                        "exists, else embed the test set once and save it. "
+                        "Repeated searches then skip the encoder sweep "
+                        "(~100x faster per query). Bank mode scores pooled "
+                        "per-image features (max_pool/cls_token select the "
+                        "pooling); per-patch combine modes need the "
+                        "streaming path.")
     return p.parse_args()
 
 
@@ -74,6 +82,54 @@ def build_model_from_config(config_dir, model_dir, model_name):
     if not trainer.restore(checkpoint_path(model_dir, model_name)):
         print(f"WARNING: no checkpoint for {model_name}; using fresh weights.")
     return trainer.model, trainer.variables(), config
+
+
+def bank_search(model, variables, target_latent, test_batcher, test_path,
+                test_indices, bank_path, args):
+    """Precomputed-bank retrieval (eval/bank.py): embed the survey once,
+    answer every subsequent query from the stored bf16 bank."""
+    import h5py
+
+    from sky_embeddings_tpu.eval.bank import EmbeddingBank, build_bank
+
+    pool = "cls" if str2bool(args.cls_token) else (
+        "max" if str2bool(args.max_pool) else "mean"
+    )
+    if os.path.exists(bank_path):
+        bank = EmbeddingBank.load(bank_path)
+        print(f"Loaded embedding bank {bank_path} "
+              f"({bank.features.shape[0]} rows, pool={bank.pool}).")
+    else:
+        print("Building embedding bank (one-time encoder sweep)...")
+        bank = build_bank(model, variables, test_batcher, pool=pool)
+        bank.save(bank_path)
+        print(f"Saved embedding bank to {bank_path}.")
+
+    scores, rows = bank.query(target_latent, k=args.n_save)
+    rows = np.asarray(rows)
+    sel = np.asarray(test_indices)[rows]  # bank row -> h5 row (build order)
+
+    # fetch winner images best-first (h5 wants sorted indices; un-sort after)
+    order = np.argsort(sel, kind="stable")
+    with h5py.File(test_path, "r") as f:
+        sorted_imgs = f["cutouts"][sel[order]]
+    inv = np.empty_like(order)
+    inv[order] = np.arange(len(order))
+    images = sorted_imgs[inv].astype(np.float32)
+    # same host transforms the batcher applied when the bank was built
+    from sky_embeddings_tpu.data.h5_loader import central_crop
+
+    np.maximum(images, -3.0, out=images)
+    img_size = model.img_size
+    if images.shape[-1] > img_size or images.shape[-2] > img_size:
+        images = np.ascontiguousarray(central_crop(images, img_size))
+
+    latent = extract_latents(
+        model, variables,
+        [{"cutouts": images, "ra_dec": bank.ra_decs[rows]}],
+        remove_prefix=False,
+    )
+    return images, np.asarray(latent), bank.ra_decs[rows], np.asarray(scores)
 
 
 def main():
@@ -125,12 +181,18 @@ def main():
         ),
     )
 
-    test_images, test_latent, test_ra_decs, test_scores = mim_simsearch(
-        model, variables, target_latent, test_batcher,
-        n_save=args.n_save, metric=args.metric, combine=args.combine,
-        use_weights=True, max_pool=str2bool(args.max_pool),
-        cls_token=str2bool(args.cls_token),
-    )
+    if args.bank and args.bank != "None":
+        test_images, test_latent, test_ra_decs, test_scores = bank_search(
+            model, variables, target_latent, test_batcher, test_path,
+            test_indices, os.path.join(results_dir, args.bank), args,
+        )
+    else:
+        test_images, test_latent, test_ra_decs, test_scores = mim_simsearch(
+            model, variables, target_latent, test_batcher,
+            n_save=args.n_save, metric=args.metric, combine=args.combine,
+            use_weights=True, max_pool=str2bool(args.max_pool),
+            cls_token=str2bool(args.cls_token),
+        )
 
     display_images(
         normalize_images(test_images[: args.n_plot, args.display_channel]),

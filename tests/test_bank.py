@@ -72,6 +72,52 @@ def test_pool_modes(tiny_model):
         assert bank.features.shape == (8, 48)
 
 
+def test_cli_bank_search_roundtrip(tiny_model, tmp_path):
+    """similarity_search.py's --bank mode: build-on-first-use, reuse-on-next,
+    winner images/features/ra_decs keep best-first order."""
+    import os
+    import sys
+    from types import SimpleNamespace
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from similarity_search import bank_search
+
+    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+    from sky_embeddings_tpu.eval.eval_fns import extract_latents
+
+    model, variables = tiny_model
+    test_path = write_synthetic_h5(
+        str(tmp_path / "test.h5"), n=40, channels=3, img_size=16, seed=4
+    )
+    test_indices = np.arange(0, 40, 2)  # pretend S/N filter kept every 2nd
+    batcher = build_h5_batcher(test_path, batch_size=10, img_size=16,
+                               shuffle=False, indices=test_indices,
+                               drop_remainder=False)
+    target_latent = extract_latents(
+        model, variables, batcher.take(1), remove_prefix=False
+    )
+    args = SimpleNamespace(cls_token="False", max_pool="False", n_save=7)
+    bank_path = str(tmp_path / "bank.h5")
+
+    imgs, latent, ra_decs, scores = bank_search(
+        model, variables, target_latent, iter(batcher), test_path,
+        test_indices, bank_path, args,
+    )
+    assert os.path.exists(bank_path)
+    assert imgs.shape == (7, 3, 16, 16) and latent.shape[0] == 7
+    assert ra_decs.shape == (7, 2) and scores.shape == (7,)
+    assert np.all(np.diff(scores) <= 1e-6)  # best-first
+
+    # second call must reuse the bank (batcher exhausted on purpose)
+    imgs2, _, _, scores2 = bank_search(
+        model, variables, target_latent, iter(()), test_path,
+        test_indices, bank_path, args,
+    )
+    np.testing.assert_allclose(scores2, scores, atol=1e-6)
+    np.testing.assert_allclose(imgs2, imgs, atol=1e-6)
+
+
 def test_chunked_route_matches_device(tiny_model):
     """Forcing the chunked path must reproduce the device-resident result."""
     model, variables = tiny_model
