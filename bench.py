@@ -30,6 +30,7 @@ figure estimated at 600 img/s (ViT-B fwd+bwd ≈ 33-34 GFLOP/img; fp32 A100
 vs_baseline = measured/(5·600); ≥1.0 meets the target.
 """
 
+import functools
 import json
 import os
 import sys
@@ -66,7 +67,9 @@ def _build():
     tx = pretrain_optimizer(params, cosine_annealing(1e-4, 10_000, 1e4), 0.05)
     opt_state = jax.jit(tx.init)(params)
 
-    @jax.jit
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, imgs, key):
         k_mask, k_next = jax.random.split(key)
         mask = simmim_batch_mask(k_mask, B, 5, 64, 8, 0.9)
@@ -204,7 +207,9 @@ def _time_train_step(model, B, n_steps, rng_mask=False, in_chans=5, img=64,
     tx = pretrain_optimizer(params, cosine_annealing(1e-4, 10_000, 1e4), 0.05)
     opt_state = jax.jit(tx.init)(params)
 
-    @jax.jit
+    # donate params+opt_state: in-place updates, required headroom for ViT-H
+    # (632M params x fp32 x {p, m, v, grads} would otherwise double-buffer)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, imgs, key):
         k_mask, k_next = jax.random.split(key)
 
@@ -263,7 +268,7 @@ def bench_vit_l(B=256, n_steps=10):
     model = SkyMIM(
         img_size=64, patch_size=8, in_chans=9, embed_dim=1024, depth=24,
         num_heads=16, simmim=True, norm_pix_loss=True, loss_fn="l1",
-        ra_dec=True, dtype=jnp.bfloat16, scan_blocks=True,
+        ra_dec=True, dtype=jnp.bfloat16, scan_blocks=False, stash_mlp=True,
     )
     gflop = vit_train_gflops_per_img(24, 1024, 66, patch_in=576)
     rate = _time_train_step(model, B, n_steps, in_chans=9, ra_dec=True)

@@ -357,6 +357,12 @@ class Encoder(nn.Module):
     stash: bool = True
     stash_mlp: bool = False
     scan: bool = False
+    # lax.scan unroll factor: compiles the block body `scan_unroll` times
+    # (compile memory grows linearly) but amortizes the scan's per-iteration
+    # stacked-residual/grad bookkeeping, which measures ~2 ms/layer of
+    # backward overhead at ViT-L scale. Middle ground between scan=1 and a
+    # full unroll (which exhausts the TPU compiler at ViT-H depth/width).
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -370,6 +376,7 @@ class Encoder(nn.Module):
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=self.depth,
+                unroll=self.scan_unroll,
             )
             x, _ = scanned(
                 self.num_heads, self.mlp_ratio, self.dtype, self.remat,

@@ -76,10 +76,17 @@ class SkyMIM(nn.Module):
     # layers.Encoder). Checkpoint layouts convert via
     # layers.stack_block_params / unstack_block_params.
     scan_blocks: bool = False
+    # lax.scan unroll factor for the scan encoder (see layers.Encoder)
+    scan_unroll: int = 1
     # Stashed-residual attention backward (bf16 qkv+probs saved in the fwd;
     # see ops/kernels/attn_block.py). A/B-validated for convergence by
     # tools/ab_stash_convergence.py (PARITY #17).
     stash: bool = True
+    # MLP stash: loses at ViT-B (B=1024: the fc1-activation stash traffic
+    # exceeds the recompute it saves) but wins at ViT-L (B=256: 6.34 vs
+    # 6.74 ms/layer fwd+bwd, measured r3) — build_mim_model enables it for
+    # 'large'-size models.
+    stash_mlp: bool = False
 
     # ------------------------------------------------------------------
     @property
@@ -108,6 +115,7 @@ class SkyMIM(nn.Module):
         self.encoder = Encoder(
             self.depth, self.num_heads, self.mlp_ratio, dtype=self.dtype,
             remat=self.remat, scan=self.scan_blocks, stash=self.stash,
+            stash_mlp=self.stash_mlp, scan_unroll=self.scan_unroll,
         )
         self.norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         # Trainable per-pixel fill for NaN / masked pixels (ref mim_vit.py:239).
@@ -355,9 +363,13 @@ def build_mim_model(config, dtype: Dtype = jnp.float32, remat: bool = False) -> 
         mask_ratio=mask_ratio,
         dtype=dtype,
         remat=remat,
-        # default on for large/huge: the unrolled fused-kernel program at
-        # depth>=24 can exhaust TPU compiler memory ([ARCHITECTURE]
-        # scan_blocks overrides either way)
-        scan_blocks=arch.bool("scan_blocks", size_key in ("large", "huge")),
+        # scan is a compile-memory fallback, not a perf feature: measured on
+        # v5e (r3), unrolling ViT-L's 24 loop-heads layers compiles fine and
+        # the scan backward costs ~47 ms/step of stacked-residual traffic
+        # (745.6 -> 889 img/s at B=256). ViT-H (32 layers, D=1280) still
+        # exhausts the TPU compiler unrolled, so 'huge' defaults to scan.
+        # ([ARCHITECTURE] scan_blocks overrides either way.)
+        scan_blocks=arch.bool("scan_blocks", size_key == "huge"),
+        stash_mlp=arch.bool("stash_mlp", size_key == "large"),
         **extra,
     )

@@ -216,5 +216,7 @@ def build_predictor_model(
         ra_dec=arch.bool("ra_dec", False),
         dtype=dtype,
         remat=remat,
-        scan_blocks=arch.bool("scan_blocks", size_key in ("large", "huge")),
+        # unrolled compiles + runs faster through ViT-L; scan only where the
+        # compiler needs it (see build_mim_model / layers.Encoder)
+        scan_blocks=arch.bool("scan_blocks", size_key == "huge"),
     )

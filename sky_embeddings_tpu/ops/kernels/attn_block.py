@@ -609,18 +609,25 @@ def _pick_block(b: int, cap: int) -> int:
     return min(tb, b)
 
 
-def auto_block_b(B: int, D: int, base: int) -> int:
+def auto_block_b(B: int, D: int, base: int, full_tile_max_d: int = 768) -> int:
     """Geometry-scaled batch tile (cf. ``mlp_block.auto_block_b``): the
     kernel's VMEM footprint grows with tb·N·D activations over a fixed D²
-    weight+grad term; the ViT-B tiles (fwd 32 / bwd 16 at D=768) shrink
-    quadratically for wider models — at D=1024 the ViT-B tiles exceed the
-    budget (observed compile OOM). Sub-8 caps are honored (the ViT-H/mimhuge
-    backward at D≥1100 shrinks to tb=4) — unlike ``_pick_block``, which
-    starts at 8 and would silently raise the VMEM-motivated cap back up."""
-    scale = (768.0 / D) ** 2
-    tb = base
-    while tb > 4 and tb > base * scale:
-        tb //= 2
+    weight+grad term, and the TPU compile helper exhausts on wide-D backward
+    tiles (measured r3, tools/tune_tiles.py: bwd tb=16 at D=1024 fails to
+    compile), so tiles shrink quadratically past ``full_tile_max_d``. The
+    forward kernels keep the full base tile through D=1024 — measured both
+    compiling and faster there (fwd 1.475 vs 1.512 ms/layer at ViT-L) —
+    while at D=1280 the shrunk tile wins again (fwd tb=8 1.072 vs tb=16
+    1.136 ms/layer at ViT-H). Sub-8 caps are honored (the ViT-H backward
+    shrinks to tb=4) — unlike ``_pick_block``, which starts at 8 and would
+    silently raise the cap back up."""
+    if D <= full_tile_max_d:
+        tb = base
+    else:
+        scale = (768.0 / D) ** 2
+        tb = base
+        while tb > 4 and tb > base * scale:
+            tb //= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(min(tb, B), 1)
@@ -631,7 +638,7 @@ def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, in
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD, full_tile_max_d=1024)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -672,7 +679,7 @@ def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD, full_tile_max_d=1024)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

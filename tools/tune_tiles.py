@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--attn-fwd", default="", help="comma tiles; empty=skip")
     ap.add_argument("--attn-bwd", default="", help="comma tiles; empty=skip")
     ap.add_argument("--mlp", default="", help="comma tiles (fwd+bwd); empty=skip")
+    ap.add_argument("--attn-fwd-stash", default="",
+                    help="comma tiles for the stash-writing fwd; empty=skip")
+    ap.add_argument("--mlp-stash", action="store_true")
     ap.add_argument("--stash", action="store_true", default=True)
     ap.add_argument("-n", type=int, default=10)
     args = ap.parse_args()
@@ -105,16 +108,32 @@ def main():
             return vjp(g)[0]
         report(f"attn fwd+bwd stash={args.stash}", tb, attn_vjp_chain)
 
+    for tb in [int(t) for t in args.attn_fwd_stash.split(",") if t]:
+        @jax.jit
+        def attn_stash_fwd_chain(x, tb=tb):
+            def f(x):
+                for _ in range(depth):
+                    x = fused_attn_block(
+                        x, scale, bias, wqkv, bqkv, wproj, bproj,
+                        H, tb, 0, False, True,
+                    )
+                return x
+            return jax.vjp(f, x)[0]  # differentiation-path fwd (writes stash)
+        report("attn stash-fwd", tb, attn_stash_fwd_chain)
+
     for tb in [int(t) for t in args.mlp.split(",") if t]:
         @jax.jit
         def mlp_vjp_chain(x, tb=tb):
             def f(x):
                 for _ in range(depth):
-                    x = fused_mlp_block(x, scale, bias, w1, b1, w2, b2, tb, False)
+                    x = fused_mlp_block(
+                        x, scale, bias, w1, b1, w2, b2, tb, False,
+                        args.mlp_stash,
+                    )
                 return x
             out, vjp = jax.vjp(f, x)
             return vjp(g)[0]
-        report("mlp fwd+bwd", tb, mlp_vjp_chain)
+        report(f"mlp fwd+bwd stash={args.mlp_stash}", tb, mlp_vjp_chain)
 
 
 if __name__ == "__main__":
