@@ -275,7 +275,7 @@ def bench_vit_l(B=256, n_steps=10):
     return rate, gflop
 
 
-def bench_vit_h(B=128, n_steps=5):
+def bench_vit_h(B=256, n_steps=5):
     """ViT-H (mimhuge: 32×1280/16h, reference ``mim_vit.py:603-612``) at the
     mim_32 data geometry — the VERDICT r2 #2 'record ViT-H' row."""
     import jax.numpy as jnp
