@@ -633,12 +633,30 @@ def auto_block_b(B: int, D: int, base: int, full_tile_max_d: int = 768) -> int:
     return max(min(tb, B), 1)
 
 
+def auto_block_b_fwd(B: int, D: int, stash: bool) -> int:
+    """Measured fwd tile optima (tools/tune_tiles.py, r3 on v5e): the plain
+    fwd prefers 64 at ViT-B width (3.395 vs 3.529 ms/layer) while the stash
+    fwd's extra qkv+probs outputs cap it at 32 (tb=64 exhausts the compile
+    helper); both hold 32 through D=1024 (1.475/1.516 ms/layer at ViT-L);
+    at D≥1280 the smaller tile wins (fwd tb=8 1.072 vs tb=16 1.136 at
+    ViT-H)."""
+    if D <= 768:
+        tb = 32 if stash else 64
+    elif D <= 1024:
+        tb = 32
+    else:
+        tb = 8
+    while tb > 1 and B % tb:
+        tb //= 2
+    return max(min(tb, B), 1)
+
+
 def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD, full_tile_max_d=1024)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b_fwd(B, D, stash=False)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -679,7 +697,7 @@ def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_FWD, full_tile_max_d=1024)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b_fwd(B, D, stash=True)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
