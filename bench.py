@@ -319,12 +319,14 @@ def bench_extraction(B=1024, n=20):
     return B * n / (time.perf_counter() - t0)
 
 
-def bench_retrieval(n_bank=1_000_000, d=768, n=20):
+def bench_retrieval(n_bank=1_000_000, d=768, n=50):
     """Weighted-cosine top-300 over a survey-scale bank (tracked metric).
 
-    The production bank format is bf16 (half the HBM bytes through the
-    one-pass Pallas kernel — VERDICT r2 #3); fp32 agreement of the bf16
-    top-300 is verified in the same run and reported alongside.
+    The production bank format is bf16, scored by the fused native-bf16
+    XLA pass (VERDICT r2 #3); the int8 two-stage path (int8 dots →
+    exact fp32 rescore of the oversampled candidates) is measured
+    alongside. fp32 agreement of each path's top-300 is verified in the
+    same run.
     """
     import numpy as np
 
@@ -333,30 +335,44 @@ def bench_retrieval(n_bank=1_000_000, d=768, n=20):
 
     from sky_embeddings_tpu.ops.kernels.simscore import (
         bank_topk,
+        bank_topk_int8,
+        quantize_bank_int8,
         weighted_bank_scores_xla,
     )
 
     key = jax.random.PRNGKey(0)
     bank32 = jax.random.normal(key, (n_bank, d), jnp.float32)
     bank = bank32.astype(jnp.bfloat16)
+    bank8, rnorm = quantize_bank_int8(bank32)
     tgt = jax.random.normal(jax.random.PRNGKey(1), (d,), jnp.float32)
     w = jax.random.uniform(jax.random.PRNGKey(2), (d,), jnp.float32) + 0.1
 
-    # agreement gate: every bf16 winner's fp32 score reaches the fp32 cut
+    # agreement gate: every candidate winner's fp32 score reaches the cut
     vals32, _ = bank_topk(bank32, tgt, w, 300)
-    _, idx16 = bank_topk(bank, tgt, w, 300)
     full32 = np.asarray(weighted_bank_scores_xla(bank32, tgt, w))
     cut = float(np.asarray(vals32)[-1])
-    agreement = float(np.mean(full32[np.asarray(idx16)] >= cut - 5e-3))
+
+    def agreement_of(idx):
+        return float(np.mean(full32[np.asarray(idx)] >= cut - 5e-3))
+
+    _, idx16 = bank_topk(bank, tgt, w, 300)
+    agreement = agreement_of(idx16)
+    _, idx8 = bank_topk_int8(bank8, rnorm, bank, tgt, w, 300)
+    agreement8 = agreement_of(idx8)
     del bank32, full32
 
-    vals, _ = bank_topk(bank, tgt, w, 300)
-    float(vals[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        vals, _ = bank_topk(bank, tgt, w, 300)
-    float(vals[0])
-    return n / (time.perf_counter() - t0), agreement
+    def rate(fn, *args):
+        vals, _ = fn(*args)
+        float(vals[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            vals, _ = fn(*args)
+        float(vals[0])
+        return n / (time.perf_counter() - t0)
+
+    qps = rate(bank_topk, bank, tgt, w, 300)
+    qps8 = rate(bank_topk_int8, bank8, rnorm, bank, tgt, w, 300)
+    return qps, agreement, qps8, agreement8
 
 
 def main():
@@ -413,9 +429,11 @@ def main():
     if extract_rate is not None:
         out["extraction_img_per_sec"] = round(extract_rate, 1)
     if retrieval is not None:
-        retrieval_qps, agreement = retrieval
+        retrieval_qps, agreement, qps_int8, agreement8 = retrieval
         out["retrieval_queries_per_sec_1m_bank"] = round(retrieval_qps, 1)
         out["retrieval_bf16_top300_agreement"] = round(agreement, 4)
+        out["retrieval_int8_2stage_queries_per_sec"] = round(qps_int8, 1)
+        out["retrieval_int8_top300_agreement"] = round(agreement8, 4)
     def _mfu(rate, gflop):
         return round(rate * gflop / (PEAK_BF16_TFLOPS * 1e3) * 100, 1)
 

@@ -386,6 +386,81 @@ def test_bf16_bank_topk_agreement():
     np.testing.assert_allclose(np.asarray(vals16), scores32, atol=1.5e-2)
 
 
+def test_bf16_native_scores_match_fp32_of_rounded():
+    """The native-bf16 XLA scorer (the TPU bf16-bank hot path) must equal
+    fp32 scoring of the bf16-rounded bank: fp32 accumulation makes the
+    contraction exact over bf16 operands."""
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        weighted_bank_scores_xla,
+        weighted_bank_scores_xla_bf16,
+    )
+
+    rng = np.random.default_rng(21)
+    bank16 = jnp.asarray(rng.normal(size=(4096, 64)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    target = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    weights = jnp.asarray(rng.random(64).astype(np.float32) + 0.1)
+
+    got = np.asarray(weighted_bank_scores_xla_bf16(bank16, target, weights))
+    # oracle: fp32 math on the bf16-rounded values (weights/target rounded
+    # to bf16 where the native path rounds them)
+    wt = np.asarray((weights * target).astype(jnp.bfloat16)).astype(np.float32)
+    w16 = np.asarray(weights.astype(jnp.bfloat16)).astype(np.float32)
+    b = np.asarray(bank16).astype(np.float32)
+    dots = b @ wt
+    # the native path squares in bf16 (bank * bank before the contraction)
+    bb = np.asarray((bank16 * bank16)).astype(np.float32)
+    mags = np.sqrt(bb @ w16)
+    tnorm = np.sqrt(np.sum(np.asarray(weights) * np.asarray(target) ** 2))
+    want = dots / (mags * tnorm + 1e-6)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_int8_two_stage_topk_exact_recall():
+    """int8 stage-1 + exact fp32 rescore: the returned top-k must agree with
+    the full fp32 ranking (score-wise at the fp32 cut) and the returned
+    scores must BE exact fp32 weighted-cosine scores of the chosen rows."""
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        bank_topk,
+        bank_topk_int8,
+        quantize_bank_int8,
+        weighted_bank_scores_xla,
+    )
+
+    rng = np.random.default_rng(22)
+    bank32 = jnp.asarray(rng.normal(size=(20000, 64)).astype(np.float32))
+    target = jnp.asarray(rng.normal(size=(64,)).astype(np.float32))
+    weights = jnp.asarray(rng.random(64).astype(np.float32) + 0.1)
+
+    bank8, rnorm = quantize_bank_int8(bank32)
+    vals, idx = bank_topk_int8(
+        bank8, rnorm, bank32, target, weights, 300, oversample=2048
+    )
+    vals32, _ = bank_topk(bank32, target, weights, 300)
+    cut = float(np.asarray(vals32)[-1])
+    full32 = np.asarray(weighted_bank_scores_xla(bank32, target, weights))
+    agreement = float(np.mean(full32[np.asarray(idx)] >= cut - 5e-3))
+    assert agreement >= 0.999, f"int8 two-stage agreement {agreement:.4f}"
+    # returned scores are the exact fp32 scores of the chosen rows
+    np.testing.assert_allclose(
+        np.asarray(vals), full32[np.asarray(idx)], rtol=2e-5, atol=2e-5
+    )
+
+
+def test_quantize_bank_int8_scale_invariance():
+    """Row scaling must not change the int8 code (cosine drops the row
+    scale, so the quantizer may too)."""
+    from sky_embeddings_tpu.ops.kernels.simscore import quantize_bank_int8
+
+    rng = np.random.default_rng(23)
+    rows = rng.normal(size=(64, 32)).astype(np.float32)
+    scales = (rng.random(64).astype(np.float32) * 10 + 0.1)[:, None]
+    b1, _ = quantize_bank_int8(jnp.asarray(rows))
+    b2, _ = quantize_bank_int8(jnp.asarray(rows * scales))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
 def test_bank_topk_chunked_matches_monolithic():
     """Streaming slabs (with a padded tail) must reproduce the whole-bank
     result exactly for fp32 banks."""
