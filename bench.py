@@ -184,8 +184,12 @@ def vit_train_gflops_per_img(
 
 
 def _time_train_step(model, B, n_steps, rng_mask=False, in_chans=5, img=64,
-                     ra_dec=False):
-    """Compile + time a full train step (mask gen, fwd, bwd, AdamW) at B."""
+                     ra_dec=False, compiler_options=None):
+    """Compile + time a full train step (mask gen, fwd, bwd, AdamW) at B.
+
+    ``compiler_options`` reaches the top-level step jit — used to raise
+    ``xla_tpu_scoped_vmem_limit_kib`` for the wide-model kernels (v5e has
+    128 MB physical VMEM; the XLA default scoped limit is far lower)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -209,7 +213,8 @@ def _time_train_step(model, B, n_steps, rng_mask=False, in_chans=5, img=64,
 
     # donate params+opt_state: in-place updates, required headroom for ViT-H
     # (632M params x fp32 x {p, m, v, grads} would otherwise double-buffer)
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       compiler_options=compiler_options)
     def step(params, opt_state, imgs, key):
         k_mask, k_next = jax.random.split(key)
 
@@ -285,7 +290,8 @@ def bench_vit_h(B=256, n_steps=5):
     model = SkyMIM(
         img_size=64, patch_size=8, in_chans=9, embed_dim=1280, depth=32,
         num_heads=16, simmim=True, norm_pix_loss=True, loss_fn="l1",
-        ra_dec=True, dtype=jnp.bfloat16, scan_blocks=True, remat=True,
+        ra_dec=True, dtype=jnp.bfloat16, scan_blocks=False, remat=False,
+        stash=False,
     )
     gflop = vit_train_gflops_per_img(32, 1280, 66, patch_in=576)
     rate = _time_train_step(model, B, n_steps, in_chans=9, ra_dec=True)

@@ -195,12 +195,21 @@ class MlpBlock(nn.Module):
         # Fused path: bf16 only — fp32 weights don't fit the backward
         # kernel's VMEM budget, and fp32 "parity mode" should keep XLA's
         # exact erf rather than the kernel's polynomial approximation.
+        # Width cap: the backward kernel keeps both weight matrices (bf16)
+        # plus their fp32 grad accumulators VMEM-resident — a fixed
+        # 6·D·F-byte term (~50 MB at ViT-L, ~79 MB at ViT-H) that exceeds
+        # the scoped-VMEM budget past the ViT-L geometry even at the
+        # minimum batch tile. Measured on v5e (r3): at D=1280/F=5120 the
+        # XLA mlp in a loop encoder reaches 409 img/s vs 371 for the
+        # fused-mlp scan encoder — so wider-than-ViT-L blocks dispatch
+        # to XLA (whose own fwd+bwd runs near the MXU roofline there).
         if (
             jax.default_backend() == "tpu"
             and self.dtype == jnp.bfloat16
             and B % 16 == 0
             and D % 128 == 0
             and self.hidden_dim % 128 == 0
+            and D * self.hidden_dim <= 1024 * 4096
         ):
             # block_b=0 -> geometry-scaled auto tile (auto_block_b)
             return fused_mlp_block(

@@ -366,10 +366,18 @@ def build_mim_model(config, dtype: Dtype = jnp.float32, remat: bool = False) -> 
         # scan is a compile-memory fallback, not a perf feature: measured on
         # v5e (r3), unrolling ViT-L's 24 loop-heads layers compiles fine and
         # the scan backward costs ~47 ms/step of stacked-residual traffic
-        # (745.6 -> 889 img/s at B=256). ViT-H (32 layers, D=1280) still
-        # exhausts the TPU compiler unrolled, so 'huge' defaults to scan.
+        # (745.6 -> 889 img/s at B=256). ViT-H unrolls too once its MLP
+        # dispatches to XLA (the fused-mlp kernel's VMEM weight+grad term
+        # was what exhausted the compiler at D=1280): loop + XLA-mlp
+        # measures 409 img/s vs 371 scan/346.7 scan+remat at B=256, so all
+        # sizes now default to the loop layout.
         # ([ARCHITECTURE] scan_blocks overrides either way.)
-        scan_blocks=arch.bool("scan_blocks", size_key == "huge"),
+        scan_blocks=arch.bool("scan_blocks", False),
         stash_mlp=arch.bool("stash_mlp", size_key == "large"),
+        # attn qkv+probs stash: wins at ViT-B/L; at ViT-H it costs
+        # ~300 MB/layer x 32 layers (~9.6 GB HBM at B=256 -> OOM) and
+        # measured slower even where it fits (309.6 vs 337.5 img/s at
+        # B=128) — the write traffic no longer hides under the fwd.
+        stash=arch.bool("stash", size_key != "huge"),
         **extra,
     )

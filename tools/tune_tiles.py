@@ -13,6 +13,7 @@ timing loop ends with a host transfer (float()).
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -52,7 +53,16 @@ def main():
     ap.add_argument("--mlp-stash", action="store_true")
     ap.add_argument("--stash", action="store_true", default=True)
     ap.add_argument("-n", type=int, default=10)
+    ap.add_argument("--vmem-kib", type=int, default=0,
+                    help="raise the scoped-VMEM limit for these compiles "
+                         "(0 = XLA default 16384; v5e has 128 MB physical)")
     args = ap.parse_args()
+    jit = jax.jit
+    if args.vmem_kib:
+        jit = functools.partial(
+            jax.jit,
+            compiler_options={"xla_tpu_scoped_vmem_limit_kib": args.vmem_kib},
+        )
     B, N, D, H, F, depth = GEOMS[args.geom]
 
     from sky_embeddings_tpu.ops.kernels.attn_block import fused_attn_block
@@ -85,7 +95,7 @@ def main():
                   f"{str(e)[:160]}", flush=True)
 
     for tb in [int(t) for t in args.attn_fwd.split(",") if t]:
-        @jax.jit
+        @jit
         def attn_fwd_chain(x, tb=tb):
             for _ in range(depth):
                 x = fused_attn_block(
@@ -95,7 +105,7 @@ def main():
         report("attn fwd", tb, attn_fwd_chain)
 
     for tb in [int(t) for t in args.attn_bwd.split(",") if t]:
-        @jax.jit
+        @jit
         def attn_vjp_chain(x, tb=tb):
             def f(x):
                 for _ in range(depth):
@@ -109,7 +119,7 @@ def main():
         report(f"attn fwd+bwd stash={args.stash}", tb, attn_vjp_chain)
 
     for tb in [int(t) for t in args.attn_fwd_stash.split(",") if t]:
-        @jax.jit
+        @jit
         def attn_stash_fwd_chain(x, tb=tb):
             def f(x):
                 for _ in range(depth):
@@ -122,7 +132,7 @@ def main():
         report("attn stash-fwd", tb, attn_stash_fwd_chain)
 
     for tb in [int(t) for t in args.mlp.split(",") if t]:
-        @jax.jit
+        @jit
         def mlp_vjp_chain(x, tb=tb):
             def f(x):
                 for _ in range(depth):
