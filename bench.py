@@ -328,11 +328,12 @@ def bench_extraction(B=1024, n=20):
 def bench_retrieval(n_bank=1_000_000, d=768, n=50):
     """Weighted-cosine top-300 over a survey-scale bank (tracked metric).
 
-    The production bank format is bf16, scored by the fused native-bf16
-    XLA pass (VERDICT r2 #3); the int8 two-stage path (int8 dots →
-    exact fp32 rescore of the oversampled candidates) is measured
-    alongside. fp32 agreement of each path's top-300 is verified in the
-    same run.
+    The production path (``EmbeddingBank.query`` default at this scale) is
+    the two-stage scorer: int8 dots-only cut selected via ``approx_max_k``,
+    then an exact weighted-cosine rescore of the 8192 candidates against
+    the stored bf16 rows — that is the headline q/s. The single-pass
+    native-bf16 XLA scorer (``exact=True``) is measured alongside. fp32
+    top-300 agreement of each path is verified in the same run.
     """
     import numpy as np
 
@@ -379,6 +380,15 @@ def bench_retrieval(n_bank=1_000_000, d=768, n=50):
     qps = rate(bank_topk, bank, tgt, w, 300)
     qps8 = rate(bank_topk_int8, bank8, rnorm, bank, tgt, w, 300)
     return qps, agreement, qps8, agreement8
+
+
+def _retrieval_keys(out, retrieval):
+    """Emit the retrieval metrics (headline = the production two-stage path)."""
+    qps_exact, agreement, qps_2stage, agreement8 = retrieval
+    out["retrieval_queries_per_sec_1m_bank"] = round(qps_2stage, 1)
+    out["retrieval_top300_agreement"] = round(agreement8, 4)
+    out["retrieval_bf16_exact_queries_per_sec"] = round(qps_exact, 1)
+    out["retrieval_bf16_top300_agreement"] = round(agreement, 4)
 
 
 def main():
@@ -435,11 +445,7 @@ def main():
     if extract_rate is not None:
         out["extraction_img_per_sec"] = round(extract_rate, 1)
     if retrieval is not None:
-        retrieval_qps, agreement, qps_int8, agreement8 = retrieval
-        out["retrieval_queries_per_sec_1m_bank"] = round(retrieval_qps, 1)
-        out["retrieval_bf16_top300_agreement"] = round(agreement, 4)
-        out["retrieval_int8_2stage_queries_per_sec"] = round(qps_int8, 1)
-        out["retrieval_int8_top300_agreement"] = round(agreement8, 4)
+        _retrieval_keys(out, retrieval)
     def _mfu(rate, gflop):
         return round(rate * gflop / (PEAK_BF16_TFLOPS * 1e3) * 100, 1)
 

@@ -10,8 +10,12 @@ precomputed-bank path the reference approximates by re-running
   to one feature row, standardize by the bank's own statistics, and store
   **bf16** rows (half the HBM bytes per query pass; top-300 agreement with
   fp32 ≥ 0.999 — ``tests/test_kernels.py``).
-* :class:`EmbeddingBank` — query with weighted-cosine top-k
-  (``ops/kernels/simscore.bank_topk``); banks larger than device memory
+* :class:`EmbeddingBank` — query with weighted-cosine top-k. Survey-scale
+  device-resident banks default to the two-stage int8 scorer
+  (``ops/kernels/simscore.bank_topk_int8``: int8 dots-only cut via
+  ``approx_max_k`` → exact rescore of the candidates; ~470 q/s on a
+  1M×768 bank, top-300 agreement 1.0 vs fp32); ``exact=True`` forces the
+  single-pass scorer (``bank_topk``). Banks larger than device memory
   stream through :func:`bank_topk_chunked` automatically. HDF5
   save/load for persistence.
 
@@ -33,12 +37,21 @@ import jax.numpy as jnp
 
 from sky_embeddings_tpu.models.mim import SkyMIM
 from sky_embeddings_tpu.models.predictor import SkyViT
-from sky_embeddings_tpu.ops.kernels.simscore import bank_topk, bank_topk_chunked
+from sky_embeddings_tpu.ops.kernels.simscore import (
+    bank_topk,
+    bank_topk_chunked,
+    bank_topk_int8,
+    quantize_bank_int8,
+)
 from sky_embeddings_tpu.ops.similarity import target_features
 
 # rows above which queries stream host slabs instead of device-residing the
 # bank (¼ of a 16 GB v5e at 768-d bf16 leaves headroom for the model)
 DEVICE_ROWS_LIMIT = 2_500_000
+
+# rows below which the single-pass scorer is used directly: the two-stage
+# int8 cut only pays once the full-bank read dominates the candidate rescore
+TWO_STAGE_MIN_ROWS = 1 << 16
 
 
 class _DiskFeatures:
@@ -76,6 +89,7 @@ class EmbeddingBank:
         self.std = np.asarray(std, np.float32)
         self.pool = pool
         self._device_bank = None
+        self._device_int8_bank = None
 
     # -- persistence ---------------------------------------------------
     def save(self, path: str) -> None:
@@ -121,12 +135,19 @@ class EmbeddingBank:
         return bank
 
     # -- queries -------------------------------------------------------
-    def query(self, target_latent, k: int = 300,
-              use_weights: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    def query(self, target_latent, k: int = 300, use_weights: bool = True,
+              exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
         """(scores, indices) of the best-k rows for a target group.
 
         ``target_latent``: (Bt, Lt, D) token features of the target set
         (reference target semantics, ``similarity.py:134-147``).
+
+        Device-resident banks above :data:`TWO_STAGE_MIN_ROWS` rows route
+        through the two-stage int8 scorer by default (int8 dots-only cut →
+        exact weighted-cosine rescore of the oversampled candidates against
+        the stored-precision rows — ~2× the single-pass rate at 1M rows,
+        measured top-300 agreement 1.0). ``exact=True`` forces the
+        single-pass scorer at the bank's storage precision.
         """
         flat = jnp.asarray(np.asarray(target_latent, np.float32))
         # standardize the target tokens by the bank stats BEFORE the
@@ -139,7 +160,14 @@ class EmbeddingBank:
         n = self.features.shape[0]
         if n <= DEVICE_ROWS_LIMIT and isinstance(self.features, np.ndarray):
             bank = self._device()
-            vals, idx = bank_topk(bank, tgt, w, min(k, n))
+            if exact or n < TWO_STAGE_MIN_ROWS:
+                vals, idx = bank_topk(bank, tgt, w, min(k, n))
+            else:
+                bank8, rnorm = self._device_int8()
+                vals, idx = bank_topk_int8(
+                    bank8, rnorm, bank, tgt, w, min(k, n),
+                    oversample=min(8192, n),
+                )
             return np.asarray(vals), np.asarray(idx)
         return bank_topk_chunked(self.features, tgt, w, k)
 
@@ -147,6 +175,12 @@ class EmbeddingBank:
         if self._device_bank is None:
             self._device_bank = jax.device_put(self.features)
         return self._device_bank
+
+    def _device_int8(self):
+        """Lazily quantize the device bank for the stage-1 int8 cut."""
+        if self._device_int8_bank is None:
+            self._device_int8_bank = jax.jit(quantize_bank_int8)(self._device())
+        return self._device_int8_bank
 
 
 def build_bank(

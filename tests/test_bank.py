@@ -138,3 +138,36 @@ def test_chunked_route_matches_device(tiny_model):
         bank_mod.DEVICE_ROWS_LIMIT = old
     np.testing.assert_allclose(np.asarray(s_ch), np.asarray(s_dev), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_ch), np.asarray(i_dev))
+
+
+def test_two_stage_default_matches_exact_above_threshold():
+    """Above TWO_STAGE_MIN_ROWS the query default routes through the int8
+    two-stage scorer; its exact-rescored top-k must agree with the
+    single-pass (``exact=True``) scorer on the same bf16 bank."""
+    import ml_dtypes
+
+    from sky_embeddings_tpu.eval import bank as bank_mod
+
+    rng = np.random.default_rng(5)
+    n = bank_mod.TWO_STAGE_MIN_ROWS + 512
+    feats = rng.normal(size=(n, 48)).astype(np.float32)
+    feats = (feats - feats.mean(0)) / (feats.std(0) + 1e-8)
+    bank = EmbeddingBank(
+        feats.astype(ml_dtypes.bfloat16),
+        rng.uniform(size=(n, 2)).astype(np.float32),
+        mean=np.zeros(48, np.float32), std=np.ones(48, np.float32),
+    )
+    latent = rng.normal(size=(3, 4, 48)).astype(np.float32)
+
+    s_exact, i_exact = bank.query(latent, k=50, exact=True)
+    s_two, i_two = bank.query(latent, k=50)
+    # the head must match exactly; the candidate-set boundary may slip a
+    # rank or two (approx_max_k recall is per-candidate, guarded at scale
+    # by the bench agreement gate)
+    np.testing.assert_array_equal(i_two[:10], i_exact[:10])
+    # the single-pass scorer squares rows in bf16, the rescore in fp32 —
+    # agreement is bounded by the bf16 rounding of the squares, not exact
+    np.testing.assert_allclose(s_two[:10], s_exact[:10], rtol=3e-3, atol=3e-3)
+    overlap = len(set(i_two.tolist()) & set(i_exact.tolist()))
+    assert overlap >= 45, f"two-stage/exact overlap {overlap}/50"
+    assert np.all(np.diff(s_two) <= 1e-6)  # best-first ordering
