@@ -41,6 +41,8 @@ from sky_embeddings_tpu.ops.kernels.simscore import (
     bank_topk,
     bank_topk_chunked,
     bank_topk_int8,
+    bank_topk_multi,
+    bank_topk_multi_int8,
     quantize_bank_int8,
 )
 from sky_embeddings_tpu.ops.similarity import target_features
@@ -166,10 +168,52 @@ class EmbeddingBank:
                 bank8, rnorm = self._device_int8()
                 vals, idx = bank_topk_int8(
                     bank8, rnorm, bank, tgt, w, min(k, n),
-                    oversample=min(8192, n),
+                    oversample=min(max(8192, k), n),
                 )
             return np.asarray(vals), np.asarray(idx)
         return bank_topk_chunked(self.features, tgt, w, k)
+
+    def query_multi(self, target_latents, k: int = 300,
+                    use_weights: bool = True,
+                    exact: bool = False) -> tuple[np.ndarray, np.ndarray]:
+        """Batched :meth:`query`: Q independent target groups, one bank pass.
+
+        ``target_latents``: sequence of Q target groups, each (Bt, Lt, D)
+        token features (each group collapses to its own mean target +
+        inverse-variance weights). Returns ``(Q, k)`` scores and indices.
+        Device-resident banks above :data:`TWO_STAGE_MIN_ROWS` rows use the
+        two-stage int8 scorer (one int8 bank pass for all Q queries);
+        requires a device-resident bank (streaming multi-target survey
+        search amortizes at the encoder level instead —
+        ``eval/simsearch.mim_simsearch_multi``).
+        """
+        tgts, ws = [], []
+        for latent in target_latents:
+            flat = jnp.asarray(np.asarray(latent, np.float32))
+            flat = (flat - self.mean) / (self.std + 1e-8)
+            tgt, w = target_features(flat)
+            if not use_weights:
+                w = jnp.ones_like(w) / w.shape[0]
+            tgts.append(tgt)
+            ws.append(w)
+        targets = jnp.stack(tgts)
+        weights = jnp.stack(ws)
+        n = self.features.shape[0]
+        if not (n <= DEVICE_ROWS_LIMIT and isinstance(self.features, np.ndarray)):
+            raise ValueError(
+                "query_multi needs a device-resident bank; for out-of-HBM "
+                "banks loop bank_topk_chunked per target"
+            )
+        bank = self._device()
+        if exact or n < TWO_STAGE_MIN_ROWS:
+            vals, idx = bank_topk_multi(bank, targets, weights, min(k, n))
+        else:
+            bank8, rnorm = self._device_int8()
+            vals, idx = bank_topk_multi_int8(
+                bank8, rnorm, bank, targets, weights, min(k, n),
+                oversample=min(max(2048, k), n),
+            )
+        return np.asarray(vals), np.asarray(idx)
 
     def _device(self):
         if self._device_bank is None:

@@ -351,6 +351,51 @@ def bank_topk_int8(
     return vals, cand[j]
 
 
+@functools.partial(jax.jit, static_argnames=("k", "oversample", "recall_target"))
+def bank_topk_multi_int8(
+    bank8: jnp.ndarray,
+    rnorm: jnp.ndarray,
+    bank_hi: jnp.ndarray,
+    targets: jnp.ndarray,
+    weights: jnp.ndarray,
+    k: int,
+    oversample: int = 2048,
+    recall_target: float = 0.95,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-query :func:`bank_topk_int8`: Q targets, one int8 bank pass.
+
+    Stage 1 computes the (Q, N) int8 dot scores query-major (one
+    ``dot_general`` contracting D — the bank streams through HBM once for
+    all Q queries), cuts ``oversample`` candidates per query with
+    ``approx_max_k`` along N, then stage 2 gathers each query's candidate
+    rows from ``bank_hi`` and rescores exactly (fp32 weighted cosine, each
+    query's own inverse-variance weights). ``oversample`` defaults lower
+    than the single-query path: the (Q, oversample, D) gather is the
+    memory term (Q=64 × 2048 × 768 bf16 ≈ 200 MB).
+
+    Returns per-query ``(Q, k)`` scores and bank indices. Measured v5e,
+    1M×768 bank: ~4.7 ms at Q=64 (vs 12.6 ms for the single-pass XLA
+    multi scorer) — 64 exact-rescored searches for ~2× the cost of one.
+    Reference semantics: ``similarity.py:149-212``."""
+    wt = weights * targets                                        # (Q, D)
+    s1 = jnp.max(jnp.abs(wt), axis=1, keepdims=True) / 127.0
+    q1 = jnp.clip(jnp.round(wt / jnp.maximum(s1, 1e-30)), -127, 127)
+    q1 = q1.astype(jnp.int8)
+    dn = (((1,), (1,)), ((), ()))                                 # (Q, N)
+    dots = jax.lax.dot_general(
+        q1, bank8, dn, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    stage1 = dots / (rnorm[None, :] + 1e-6)
+    cand = jax.lax.approx_max_k(stage1, oversample, recall_target=recall_target)[1]
+    rows = bank_hi[cand].astype(jnp.float32)                      # (Q, os, D)
+    d2 = jnp.einsum("qod,qd->qo", rows, wt)
+    mags = jnp.sqrt(jnp.einsum("qod,qd->qo", rows * rows, weights))
+    tnorms = jnp.sqrt(jnp.sum(weights * targets ** 2, axis=1))
+    scores = d2 / (mags * tnorms[:, None] + 1e-6)
+    vals, j = jax.lax.top_k(scores, k)
+    return vals, jnp.take_along_axis(cand, j, axis=1)
+
+
 def bank_topk_chunked(
     bank,
     target: jnp.ndarray,

@@ -171,3 +171,34 @@ def test_two_stage_default_matches_exact_above_threshold():
     overlap = len(set(i_two.tolist()) & set(i_exact.tolist()))
     assert overlap >= 45, f"two-stage/exact overlap {overlap}/50"
     assert np.all(np.diff(s_two) <= 1e-6)  # best-first ordering
+
+
+def test_query_multi_matches_per_query(tiny_model):
+    """query_multi must reproduce per-group query() results (small bank →
+    exact route both ways), and raise on non-device-resident banks."""
+    model, variables = tiny_model
+    bank = build_bank(model, variables, _batches(4))
+    from sky_embeddings_tpu.eval import bank as bank_mod
+    from sky_embeddings_tpu.eval.eval_fns import extract_latents
+
+    groups = [
+        extract_latents(model, variables, list(_batches(1, bs=4, seed=s)),
+                        remove_prefix=False)
+        for s in (7, 8)
+    ]
+    s_multi, i_multi = bank.query_multi(groups, k=6)
+    assert s_multi.shape == (2, 6) and i_multi.shape == (2, 6)
+    for q, latent in enumerate(groups):
+        s1, i1 = bank.query(latent, k=6)
+        np.testing.assert_array_equal(i_multi[q], i1)
+        # single-query path squares rows in bf16, the multi path upcasts
+        # first — same winners, scores differ at the bf16 rounding level
+        np.testing.assert_allclose(s_multi[q], s1, rtol=3e-3, atol=3e-3)
+
+    old = bank_mod.DEVICE_ROWS_LIMIT
+    try:
+        bank_mod.DEVICE_ROWS_LIMIT = 0
+        with pytest.raises(ValueError, match="device-resident"):
+            bank.query_multi(groups, k=6)
+    finally:
+        bank_mod.DEVICE_ROWS_LIMIT = old

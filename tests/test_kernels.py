@@ -589,3 +589,37 @@ def test_loop_heads_backward_parity_both_modes():
                 np.asarray(gk), np.asarray(gx), atol=5e-4, rtol=1e-3,
                 err_msg=f"grad mismatch for {name} (stash={stash})",
             )
+
+
+def test_int8_multi_query_two_stage_agreement():
+    """Multi-query int8 two-stage: each query's exact-rescored top-k must
+    agree with the single-query two-stage path and carry exact fp32 scores."""
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        bank_topk_multi_int8,
+        quantize_bank_int8,
+        weighted_bank_scores_multi_xla,
+    )
+
+    rng = np.random.default_rng(31)
+    bank32 = jnp.asarray(rng.normal(size=(20000, 64)).astype(np.float32))
+    targets = jnp.asarray(rng.normal(size=(5, 64)).astype(np.float32))
+    weights = jnp.asarray(rng.random((5, 64)).astype(np.float32) + 0.1)
+
+    bank8, rnorm = quantize_bank_int8(bank32)
+    vals, idx = bank_topk_multi_int8(
+        bank8, rnorm, bank32, targets, weights, 100, oversample=2048
+    )
+    assert vals.shape == (5, 100) and idx.shape == (5, 100)
+    full = np.asarray(weighted_bank_scores_multi_xla(bank32, targets, weights))
+    for q in range(5):
+        order = np.argsort(-full[:, q], kind="stable")
+        cut = full[order[99], q]
+        agreement = float(np.mean(full[np.asarray(idx[q]), q] >= cut - 5e-3))
+        assert agreement >= 0.99, f"query {q}: agreement {agreement:.4f}"
+        # returned scores are the exact fp32 scores of the chosen rows
+        np.testing.assert_allclose(
+            np.asarray(vals[q]), full[np.asarray(idx[q]), q],
+            rtol=2e-5, atol=2e-5,
+        )
+        # rows are sorted best-first
+        assert np.all(np.diff(np.asarray(vals[q])) <= 1e-6)
