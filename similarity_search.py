@@ -99,6 +99,13 @@ def bank_search(model, variables, target_latent, test_batcher, test_path,
         bank = EmbeddingBank.load(bank_path)
         print(f"Loaded embedding bank {bank_path} "
               f"({bank.features.shape[0]} rows, pool={bank.pool}).")
+        if bank.features.shape[0] != len(test_indices):
+            raise ValueError(
+                f"bank {bank_path} has {bank.features.shape[0]} rows but the "
+                f"current S/N filter selects {len(test_indices)} test rows — "
+                "the bank was built under different -sr/--snr_range settings; "
+                "delete it (or pass a different --bank name) to rebuild"
+            )
     else:
         print("Building embedding bank (one-time encoder sweep)...")
         bank = build_bank(model, variables, test_batcher, pool=pool)
@@ -165,7 +172,7 @@ def main():
     )
     test_batcher = build_h5_batcher(
         test_path, batch_size=args.batch_size, img_size=img_size,
-        shuffle=False, indices=test_indices,
+        shuffle=False, indices=test_indices, drop_remainder=False,
     )
 
     target_latent, target_images = extract_latents(

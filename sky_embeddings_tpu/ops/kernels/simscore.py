@@ -284,6 +284,20 @@ def bank_topk(
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _bank_topk_masked(
+    bank: jnp.ndarray, target: jnp.ndarray, weights: jnp.ndarray, k: int,
+    n_valid: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`bank_topk` with rows ≥ ``n_valid`` forced to -inf — tail-slab
+    padding must never outrank real rows (a zero pad row scores exactly 0,
+    which beats any *negative* true cosine). ``n_valid`` is traced, so every
+    slab shares one compiled program."""
+    scores = weighted_bank_scores(bank, target, weights)
+    valid = jnp.arange(scores.shape[0]) < n_valid
+    return jax.lax.top_k(jnp.where(valid, scores, -jnp.inf), k)
+
+
 def quantize_bank_int8(bank: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-row max-abs int8 quantization of an embedding bank.
 
@@ -439,14 +453,17 @@ def bank_topk_chunked(
             if i + 1 < len(starts)
             else None
         )
-        per_slab.append((s, bank_topk(dev, target, weights, k_slab)))
+        n_valid = min(s + slab_rows, N) - s
+        per_slab.append(
+            (s, _bank_topk_masked(dev, target, weights, k_slab, n_valid))
+        )
         dev = nxt
 
     all_scores, all_idx = [], []
     for s, (vals, idx) in per_slab:
         vals = np.asarray(vals)
         idx = np.asarray(idx)
-        valid = (idx + s) < N  # drop tail padding (pad rows score exactly 0)
+        valid = np.isfinite(vals)  # drop -inf-masked tail padding
         all_scores.append(vals[valid])
         all_idx.append(idx[valid] + s)
     scores = np.concatenate(all_scores)

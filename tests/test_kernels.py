@@ -477,6 +477,31 @@ def test_bank_topk_chunked_matches_monolithic():
     np.testing.assert_array_equal(got_i, np.asarray(want_i))
 
 
+def test_bank_topk_chunked_all_negative_scores():
+    """Tail-slab padding must not displace real rows: zero pad rows score
+    exactly 0, which would beat every row of an anti-aligned bank (all true
+    cosines ≈ -1) inside the per-slab top-k. Regression for the -inf mask
+    in ``_bank_topk_masked``."""
+    from sky_embeddings_tpu.ops.kernels.simscore import bank_topk, bank_topk_chunked
+
+    rng = np.random.default_rng(17)
+    target = rng.normal(size=(32,)).astype(np.float32)
+    # every bank row anti-aligned with the target -> all scores negative
+    bank = (-target[None, :] + 0.05 * rng.normal(size=(1100, 32))).astype(
+        np.float32
+    )
+    weights = (rng.random(32) + 0.1).astype(np.float32)
+    tj, wj = jnp.asarray(target), jnp.asarray(weights)
+
+    want_v, want_i = bank_topk(jnp.asarray(bank), tj, wj, 40)
+    assert float(np.asarray(want_v)[0]) < 0  # the scenario is real
+    # slab split 1000+100: the tail slab is 90% padding and k > its 100
+    # real rows, so unmasked pad rows would win its whole top-k
+    got_v, got_i = bank_topk_chunked(bank, tj, wj, 40, slab_rows=1000)
+    np.testing.assert_array_equal(got_i, np.asarray(want_i))
+    np.testing.assert_allclose(got_v, np.asarray(want_v), atol=2e-5)
+
+
 def test_bank_topk_chunked_10m_rows():
     """Survey scale: 10M rows streamed in 1M-row slabs (the bank never sits
     on the device whole), verified against a direct numpy ranking."""
