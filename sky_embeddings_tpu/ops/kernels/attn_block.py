@@ -609,7 +609,17 @@ def _pick_block(b: int, cap: int) -> int:
     return min(tb, b)
 
 
-def auto_block_b(B: int, D: int, base: int, full_tile_max_d: int = 768) -> int:
+def _seq_scale(n_tokens: int) -> float:
+    """Padded-sublane ratio vs the 65-token flagship the tiles were tuned
+    at: every per-tile activation term (qkv, ctx, logits rows) scales with
+    tb·N, so shorter sequences afford proportionally larger batch tiles."""
+    n_pad = max(-(-n_tokens // 8) * 8, 8)
+    return 72.0 / n_pad
+
+
+def auto_block_b(
+    B: int, D: int, base: int, full_tile_max_d: int = 768, n_tokens: int = 65
+) -> int:
     """Geometry-scaled batch tile (cf. ``mlp_block.auto_block_b``): the
     kernel's VMEM footprint grows with tb·N·D activations over a fixed D²
     weight+grad term, and the TPU compile helper exhausts on wide-D backward
@@ -620,7 +630,8 @@ def auto_block_b(B: int, D: int, base: int, full_tile_max_d: int = 768) -> int:
     while at D=1280 the shrunk tile wins again (fwd tb=8 1.072 vs tb=16
     1.136 ms/layer at ViT-H). Sub-8 caps are honored (the ViT-H backward
     shrinks to tb=4) — unlike ``_pick_block``, which starts at 8 and would
-    silently raise the cap back up."""
+    silently raise the cap back up. Short sequences (``n_tokens``) scale
+    the cap the other way — see :func:`_seq_scale`."""
     if D <= full_tile_max_d:
         tb = base
     else:
@@ -628,24 +639,32 @@ def auto_block_b(B: int, D: int, base: int, full_tile_max_d: int = 768) -> int:
         tb = base
         while tb > 4 and tb > base * scale:
             tb //= 2
+    cap = base if D <= full_tile_max_d else tb
+    target = cap * _seq_scale(n_tokens)
+    while tb * 2 <= target and tb * 2 <= B and B % (tb * 2) == 0:
+        tb *= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(min(tb, B), 1)
 
 
-def auto_block_b_fwd(B: int, D: int, stash: bool) -> int:
+def auto_block_b_fwd(B: int, D: int, stash: bool, n_tokens: int = 65) -> int:
     """Measured fwd tile optima (tools/tune_tiles.py, r3 on v5e): the plain
     fwd prefers 64 at ViT-B width (3.395 vs 3.529 ms/layer) while the stash
     fwd's extra qkv+probs outputs cap it at 32 (tb=64 exhausts the compile
     helper); both hold 32 through D=1024 (1.475/1.516 ms/layer at ViT-L);
     at D≥1280 the smaller tile wins (fwd tb=8 1.072 vs tb=16 1.136 at
-    ViT-H)."""
+    ViT-H). Short sequences scale the tile up by the padded-sublane ratio
+    (:func:`_seq_scale`)."""
     if D <= 768:
         tb = 32 if stash else 64
     elif D <= 1024:
         tb = 32
     else:
         tb = 8
+    target = tb * _seq_scale(n_tokens)
+    while tb * 2 <= target and tb * 2 <= B and B % (tb * 2) == 0:
+        tb *= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(min(tb, B), 1)
@@ -656,7 +675,7 @@ def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, in
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b_fwd(B, D, stash=False)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b_fwd(B, D, stash=False, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -697,7 +716,7 @@ def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b_fwd(B, D, stash=True)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b_fwd(B, D, stash=True, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -747,7 +766,7 @@ def _pallas_bwd_stash(
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_BWD)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_BWD, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -809,7 +828,7 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
     from jax.experimental.pallas import tpu as pltpu
 
     B, N, D = x.shape
-    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_BWD)
+    tb = _pick_block(B, block_b) if block_b else auto_block_b(B, D, DEFAULT_BLOCK_B_BWD, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

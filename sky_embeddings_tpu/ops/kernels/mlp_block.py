@@ -43,19 +43,40 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 
-def auto_block_b(B: int, D: int, F: int, base: int = DEFAULT_BLOCK_B) -> int:
+def auto_block_b(
+    B: int, D: int, F: int, base: int = DEFAULT_BLOCK_B, n_tokens: int = 65
+) -> int:
     """Geometry-scaled batch tile: the backward kernel's VMEM footprint grows
     with tb·N·F (activations) on top of a fixed D·F weight+grad term, so the
     ViT-B tile (16 at D=768/F=3072) must shrink for larger variants —
     measured: the ViT-L (D=1024, F=4096) backward exceeds the VMEM budget at
-    tb=16 and compiles at tb=8. Yields `base` at ViT-B geometry."""
+    tb=16 and compiles at tb=8. Yields `base` at ViT-B geometry.
+
+    ``n_tokens`` scales the tile the other way: the heuristics were measured
+    at the flagship sequence (65 tokens → 72 padded sublanes); shorter
+    sequences shrink every tb·N activation term proportionally, so the tile
+    cap grows by the padded-sublane ratio — the grown tile's VMEM footprint
+    stays at or under the measured-compiling flagship tiles (e.g. the MAE
+    encoder's tb=32 at N=17 ≈ tb=10.7 at N=65 in activation bytes). Sweep
+    with ``tools/tune_tiles.py --geom maeenc|maedec`` to re-measure."""
     scale = (768 * 3072) / float(D * F)
+    scale *= _seq_scale(n_tokens)
     tb = base
     while tb > 4 and tb > base * scale:
         tb //= 2
+    while tb * 2 <= base * scale and tb * 2 <= B and B % (tb * 2) == 0:
+        tb *= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(tb, 1)
+
+
+def _seq_scale(n_tokens: int) -> float:
+    """Padded-sublane ratio vs the 65-token flagship the tiles were tuned at
+    (bf16 packs 16 sublanes: 65 → 72 → effectively 80 with the fp32
+    upcast rows; use the plain 8-row padding as the conservative ratio)."""
+    n_pad = max(-(-n_tokens // 8) * 8, 8)
+    return 72.0 / n_pad
 
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
@@ -226,7 +247,7 @@ def _pallas_fwd(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -260,7 +281,7 @@ def _pallas_fwd_stash(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -299,7 +320,7 @@ def _pallas_bwd_stash(x, scale, bias, w1, w2, a, g, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -349,7 +370,7 @@ def _pallas_bwd(x, scale, bias, w1, b1, w2, b2, g, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B) if block_b else auto_block_b(B, D, F)
+    tb = min(block_b, B) if block_b else auto_block_b(B, D, F, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(

@@ -648,3 +648,42 @@ def test_int8_multi_query_two_stage_agreement():
         )
         # rows are sorted best-first
         assert np.all(np.diff(np.asarray(vals[q])) <= 1e-6)
+
+
+def test_tile_heuristics_flagship_neutral_and_seq_scaled():
+    """The N-aware tile heuristics (r3) must be behavior-neutral at the
+    geometries whose tiles were TPU-measured (N=65/66 pads to 72 sublanes,
+    seq scale 1.0) and must grow tiles only for genuinely shorter sequences
+    such as the MAE token-dropped encoder (N=17) and the 512-d decoder."""
+    from sky_embeddings_tpu.ops.kernels import attn_block as ab
+    from sky_embeddings_tpu.ops.kernels import mlp_block as mb
+
+    # flagship ViT-B/L/H: identical to the measured r2/r3 tiles
+    assert ab.auto_block_b_fwd(1024, 768, stash=False, n_tokens=65) == 64
+    assert ab.auto_block_b_fwd(1024, 768, stash=True, n_tokens=65) == 32
+    assert ab.auto_block_b_fwd(256, 1024, stash=True, n_tokens=66) == 32
+    assert ab.auto_block_b_fwd(128, 1280, stash=False, n_tokens=66) == 8
+    assert ab.auto_block_b(1024, 768, 16, n_tokens=65) == 16
+    assert ab.auto_block_b(256, 1024, 16, n_tokens=66) == 8
+    assert mb.auto_block_b(1024, 768, 3072, n_tokens=65) == 16
+    assert mb.auto_block_b(256, 1024, 4096, n_tokens=66) == 8
+
+    # sub-8 caps still honored (ViT-H backward shrinks below _pick_block's 8)
+    assert ab.auto_block_b(128, 1280, 16, n_tokens=66) == 4
+
+    # MAE encoder (N=17 -> 24 padded sublanes, 3x) grows tiles but stays
+    # within the 3x VMEM-equivalent budget and divides B
+    enc = ab.auto_block_b_fwd(1024, 768, stash=True, n_tokens=17)
+    assert enc == 64  # 32 * 3.0 -> 96 target, capped at 64 by doubling
+    assert mb.auto_block_b(1024, 768, 3072, n_tokens=17) == 32
+    assert ab.auto_block_b(1024, 768, 16, n_tokens=17) == 32
+
+    # MAE decoder (D=512, F=2048, N=65): width scale 2.25 grows the mlp tile
+    assert mb.auto_block_b(1024, 512, 2048, n_tokens=65) == 32
+
+    # grown tiles always divide B
+    for B in (48, 96, 1024, 136):
+        t = ab.auto_block_b_fwd(B, 768, stash=True, n_tokens=17)
+        assert B % t == 0
+        t = mb.auto_block_b(B, 512, 2048, n_tokens=65)
+        assert B % t == 0

@@ -28,6 +28,10 @@ GEOMS = {
     "vitb": (1024, 65, 768, 12, 3072, 12),
     "vitl": (256, 66, 1024, 16, 4096, 24),
     "vith": (128, 66, 1280, 16, 5120, 32),
+    # MAE-mode geometries: token-dropped encoder (mask_ratio 0.75 keeps
+    # 16 of 64 patches + cls) and the 512-d decoder over the restored seq
+    "maeenc": (1024, 17, 768, 12, 3072, 12),
+    "maedec": (1024, 65, 512, 16, 2048, 8),
 }
 
 
