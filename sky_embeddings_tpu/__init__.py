@@ -27,3 +27,27 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_platform_env() -> None:
+    """Make ``JAX_PLATFORMS`` authoritative even when a PJRT plugin has
+    already registered itself: on some managed runtimes the plugin wins the
+    backend race regardless of the env var, so ``JAX_PLATFORMS=cpu
+    python pretrain_mim.py …`` would still try (and, with the link down,
+    hang on) the accelerator. Mirroring the env var into the live config
+    restores the documented JAX semantics for every CLI/tool that imports
+    this package. No-op when the var is unset."""
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not platforms:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", platforms)
+    except Exception:  # config locked after backend init — leave it be
+        pass
+
+
+_honor_platform_env()
