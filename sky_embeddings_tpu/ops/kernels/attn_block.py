@@ -643,6 +643,8 @@ def auto_block_b(
     target = cap * _seq_scale(n_tokens)
     while tb * 2 <= target and tb * 2 <= B and B % (tb * 2) == 0:
         tb *= 2
+    while tb > 1 and tb > target:  # long sequences shrink the same budget
+        tb //= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(min(tb, B), 1)
@@ -665,6 +667,8 @@ def auto_block_b_fwd(B: int, D: int, stash: bool, n_tokens: int = 65) -> int:
     target = tb * _seq_scale(n_tokens)
     while tb * 2 <= target and tb * 2 <= B and B % (tb * 2) == 0:
         tb *= 2
+    while tb > 1 and tb > target:  # long sequences shrink the same budget
+        tb //= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(min(tb, B), 1)

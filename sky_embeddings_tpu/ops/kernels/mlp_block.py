@@ -66,6 +66,8 @@ def auto_block_b(
         tb //= 2
     while tb * 2 <= base * scale and tb * 2 <= B and B % (tb * 2) == 0:
         tb *= 2
+    while tb > 1 and tb > base * scale:  # long sequences shrink the budget
+        tb //= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(tb, 1)

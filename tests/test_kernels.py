@@ -687,3 +687,30 @@ def test_tile_heuristics_flagship_neutral_and_seq_scaled():
         assert B % t == 0
         t = mb.auto_block_b(B, 512, 2048, n_tokens=65)
         assert B % t == 0
+
+
+def test_tile_heuristics_long_sequence_shrink():
+    """Longer sequences than the tuned flagship (e.g. img_size 128 -> 257
+    tokens) must SHRINK the batch tile to hold the tb*N VMEM budget — the
+    compile helper OOMs on backward tiles whose activation slab exceeds the
+    measured flagship footprint."""
+    from sky_embeddings_tpu.ops.kernels import attn_block as ab
+    from sky_embeddings_tpu.ops.kernels import mlp_block as mb
+
+    # 257 tokens pads to 264 sublanes: 72/264 ~ 0.27x the flagship budget
+    assert ab.auto_block_b_fwd(1024, 768, stash=False, n_tokens=257) == 16
+    assert ab.auto_block_b_fwd(1024, 768, stash=True, n_tokens=257) == 8
+    assert ab.auto_block_b(1024, 768, 16, n_tokens=257) == 4
+    assert mb.auto_block_b(1024, 768, 3072, n_tokens=257) == 4
+
+    # the tb*N product never exceeds the flagship tile's (within one doubling)
+    for n in (17, 65, 66, 130, 257, 1025):
+        n_pad = -(-n // 8) * 8
+        for fn in (
+            lambda: ab.auto_block_b_fwd(1024, 768, stash=True, n_tokens=n),
+            lambda: ab.auto_block_b(1024, 768, 16, n_tokens=n),
+            lambda: mb.auto_block_b(1024, 768, 3072, n_tokens=n),
+        ):
+            t = fn()
+            assert t >= 1 and 1024 % t == 0
+            assert t * n_pad <= 64 * 72 + 1, (n, t)
