@@ -416,9 +416,9 @@ def main():
     vit_h = _attempt("vit_h", bench_vit_h)
 
     def _parity():
-        from tools.kernel_parity import run_kernel_parity
+        from tools.kernel_parity import MAE_GEOMS, run_kernel_parity
 
-        return run_kernel_parity()
+        return run_kernel_parity(extra_geoms=MAE_GEOMS)
 
     parity = _attempt("kernel_parity", _parity)
 

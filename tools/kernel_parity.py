@@ -55,18 +55,24 @@ def _tree_rel(ta, tb) -> float:
     return max(_rel(a, b) for a, b in zip(leaves_a, leaves_b))
 
 
-def run_kernel_parity(
-    B: int = 256, N: int = 65, D: int = 768, H: int = 12, F: int = 3072,
-    dtype: str = "bfloat16", interpret: bool = False,
+# Extra geometries checked by bench.py on top of the flagship: the MAE
+# token-dropped encoder (N=17 — exercises the short-sequence grown tiles)
+# and the 512-d MAE decoder. (name, B, N, D, H, F)
+MAE_GEOMS = (
+    ("mae17", 256, 17, 768, 12, 3072),
+    ("dec512", 256, 65, 512, 16, 2048),
+)
+
+
+def _block_checks(
+    B: int, N: int, D: int, H: int, F: int, dtype: str, interpret: bool,
 ) -> dict:
+    """attn-block + mlp-block fused-vs-XLA checks at one geometry."""
     from sky_embeddings_tpu.ops.kernels.attn_block import (
         fused_attn_block, xla_attn_block,
     )
     from sky_embeddings_tpu.ops.kernels.mlp_block import (
         fused_mlp_block, xla_mlp_block,
-    )
-    from sky_embeddings_tpu.ops.kernels.simscore import (
-        weighted_bank_scores_pallas, weighted_bank_scores_xla,
     )
 
     dt = jnp.dtype(dtype).type
@@ -124,6 +130,26 @@ def run_kernel_parity(
     checks["mlp_bwd_recompute"] = (_tree_rel(got_rec, want_g), TOL_BWD)
     got_sta = vjp_mlp(lambda *a: fused_mlp_block(*a, 0, interpret, True))
     checks["mlp_bwd_stash"] = (_tree_rel(got_sta, want_g), TOL_BWD_STASH)
+    return checks
+
+
+def run_kernel_parity(
+    B: int = 256, N: int = 65, D: int = 768, H: int = 12, F: int = 3072,
+    dtype: str = "bfloat16", interpret: bool = False,
+    extra_geoms: tuple = (),
+) -> dict:
+    """Flagship-geometry checks, plus ``extra_geoms`` entries of
+    ``(prefix, B, N, D, H, F)`` (e.g. :data:`MAE_GEOMS`) whose check names
+    are prefixed ``<prefix>_``."""
+    from sky_embeddings_tpu.ops.kernels.simscore import (
+        weighted_bank_scores_pallas, weighted_bank_scores_xla,
+    )
+
+    checks: dict[str, tuple[float, float]] = {}
+    checks.update(_block_checks(B, N, D, H, F, dtype, interpret))
+    for prefix, gb, gn, gd, gh, gf in extra_geoms:
+        geom = _block_checks(gb, gn, gd, gh, gf, dtype, interpret)
+        checks.update({f"{prefix}_{k}": v for k, v in geom.items()})
 
     # ---- simscore ----------------------------------------------------
     bank = jax.random.normal(jax.random.PRNGKey(21), (1 << 16, D), jnp.float32)
@@ -146,4 +172,4 @@ def run_kernel_parity(
 
 
 if __name__ == "__main__":
-    print(json.dumps(run_kernel_parity()))
+    print(json.dumps(run_kernel_parity(extra_geoms=MAE_GEOMS)))
