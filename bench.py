@@ -298,6 +298,59 @@ def bench_vit_h(B=256, n_steps=5):
     return rate, gflop
 
 
+def bench_predictor_ft(B=256, n_steps=20):
+    """Predictor fine-tune step — the second training loop a reference user
+    runs (``train_predictor.py``, reference ``vit.py:138-161``): ViT-B
+    backbone + map-pooling head, mse loss, layer-decay AdamW at the z_ft
+    geometry. Returns (img/s, GF/img)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.models.predictor import SkyViT
+    from sky_embeddings_tpu.train import optim
+    from sky_embeddings_tpu.train.predictor import make_predictor_step
+    from sky_embeddings_tpu.train.schedules import linear_lr
+    from sky_embeddings_tpu.train.state import TrainState
+
+    model = SkyViT(
+        img_size=64, patch_size=8, in_chans=5, embed_dim=768, depth=12,
+        num_heads=12, num_labels=1, global_pool="map", dtype=jnp.bfloat16,
+    )
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(key, (B, 5, 64, 64), jnp.float32)
+    labels = jax.random.uniform(key, (B, 1), jnp.float32)
+    ra_dec = jnp.zeros((B, 2), jnp.float32)  # unused (model.ra_dec=False)
+    params = jax.jit(model.init)(key, imgs[:2])["params"]
+    tx = optim.finetune_optimizer(
+        params, lambda lr: linear_lr(lr, 10_000, 1e4), model.depth,
+        layer_decay=0.75, init_lr=1e-4, weight_decay=0.05,
+    )
+    state = TrainState.create(params, tx, key)
+    step = jax.jit(
+        make_predictor_step(
+            model=model, tx=tx, loss_fn_name="mse", use_label_errs=False,
+            augment=False, augment_params={}, train=True,
+        ),
+        donate_argnums=(0,),
+    )
+    # encoder + patch embed + map-pool probe (1 query over N keys at D)
+    n_tok = model.grid_size**2 + 1
+    gflop = vit_train_gflops_per_img(model.depth, model.embed_dim, n_tok)
+    gflop += 3.0 * (
+        2 * n_tok * 320 * model.embed_dim            # patch embed
+        + 4 * n_tok * model.embed_dim**2             # map-pool q/kv proj
+        + 4 * n_tok * model.embed_dim                # probe attn math
+    ) / 1e9
+
+    state, loss, _ = step(state, imgs, ra_dec, labels)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, loss, _ = step(state, imgs, ra_dec, labels)
+    float(loss)
+    return B * n_steps / (time.perf_counter() - t0), gflop
+
+
 def bench_extraction(B=1024, n=20):
     """Encoder-only embedding extraction (BASELINE.json tracked metric)."""
     import jax
@@ -414,6 +467,7 @@ def main():
     mae = _attempt("mae", bench_mae)
     vit_l = _attempt("vit_l", bench_vit_l)
     vit_h = _attempt("vit_h", bench_vit_h)
+    pred_ft = _attempt("predictor_ft", bench_predictor_ft)
 
     def _parity():
         from tools.kernel_parity import MAE_GEOMS, run_kernel_parity
@@ -449,7 +503,10 @@ def main():
     def _mfu(rate, gflop):
         return round(rate * gflop / (PEAK_BF16_TFLOPS * 1e3) * 100, 1)
 
-    for name, res in (("mae", mae), ("vit_l", vit_l), ("vit_h", vit_h)):
+    for name, res in (
+        ("mae", mae), ("vit_l", vit_l), ("vit_h", vit_h),
+        ("predictor_ft", pred_ft),
+    ):
         if res is not None:
             rate, gflop = res
             out[f"{name}_img_per_sec"] = round(rate, 1)
