@@ -112,3 +112,39 @@ def test_build_train_argparser_surface():
     assert (defaults.verbose_iters, defaults.cp_time, defaults.data_dir) == (
         10000, 15.0, None,
     )
+
+
+def test_step_timer_and_sync():
+    """utils/profiling: StepTimer windows report steps/sec and img/s and
+    sync on the provided result tree."""
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.utils.profiling import StepTimer, sync
+
+    t = StepTimer(batch_size=4)
+    t.start()
+    x = jnp.arange(8.0)
+    for _ in range(3):
+        x = x * 1.5
+        t.step()
+    stats = t.lap(x)
+    assert stats["steps"] == 3
+    assert stats["img_per_sec"] > 0
+    assert len(t.history) == 1
+    # a second window restarts cleanly
+    t.step()
+    assert t.lap()["steps"] == 1
+    sync({"a": x})  # tree input, no error
+
+
+def test_profiler_trace_writes_events(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        jnp.dot(jnp.ones((64, 64)), jnp.ones((64, 64))).block_until_ready()
+    # a plugins/profile/<ts>/ dir with at least one artifact appears
+    hits = list(tmp_path.rglob("*.xplane.pb")) + list(tmp_path.rglob("*.trace.json*"))
+    assert hits, list(tmp_path.rglob("*"))
