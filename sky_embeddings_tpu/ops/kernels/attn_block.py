@@ -50,6 +50,16 @@ import jax.numpy as jnp
 DEFAULT_BLOCK_B_FWD = 32
 DEFAULT_BLOCK_B_BWD = 16
 
+# Software-pipelined head loop for the loop-heads forward kernels: iteration
+# j issues group j+1's logits matmuls (MXU) alongside group j's softmax (VPU)
+# so the two units overlap instead of serializing per group. Numerics are
+# identical to the straight loop (same per-head ops, same order of rounding).
+# Off by default until measured faster on-chip (tools/tune_tiles.py
+# --pipeline); flip via env SKY_ATTN_PIPELINE=1 or the module attribute.
+import os as _os
+
+PIPELINE_FWD = _os.environ.get("SKY_ATTN_PIPELINE", "0") == "1"
+
 
 def _ln_forward(x2: jnp.ndarray, scale, bias, eps=1e-6):
     mu = x2.mean(axis=-1, keepdims=True)
@@ -361,6 +371,69 @@ def _loop_heads_fwd(qkv_ref, ctx_s, num_heads: int, hd: int, dtype):
     jax.lax.fori_loop(0, num_heads // G, body, 0)
 
 
+def _loop_heads_fwd_pipe(qkv_ref, ctx_s, num_heads: int, hd: int, dtype,
+                         probs_ref=None):
+    """Pipelined variant of the fwd head loop (see ``PIPELINE_FWD``): the
+    loop carries group j's logits while issuing group j+1's logits matmuls,
+    so the VPU softmax of one group and the MXU logits of the next have no
+    data dependence and can be co-scheduled. With ``probs_ref`` the softmax
+    probabilities are also stashed (the stash-forward path)."""
+    from jax.experimental import pallas as pl
+
+    D = num_heads * hd
+    G = _head_group(hd)
+    S = G * hd
+    n_groups = num_heads // G
+    attn_scale = hd ** -0.5
+
+    def logits_for(j):
+        lo = pl.multiple_of(j * S, 128)
+        q_g = qkv_ref[:, :, pl.ds(lo, S)]
+        k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
+        parts = []
+        for u in range(G):
+            q = q_g[:, :, u * hd:(u + 1) * hd]
+            k = k_g[:, :, u * hd:(u + 1) * hd]
+            parts.append(jax.lax.dot_general(
+                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ))
+        return jnp.stack(parts, axis=1)  # (TB, G, N, N) fp32
+
+    def consume(j, logits):
+        lo = pl.multiple_of(j * S, 128)
+        v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
+        ctx_parts, probs_parts = [], []
+        for u in range(G):
+            probs = jax.nn.softmax(logits[:, u] * attn_scale, axis=-1)
+            v = v_g[:, :, u * hd:(u + 1) * hd]
+            if probs_ref is not None:
+                probs_c = probs.astype(probs_ref.dtype)
+                probs_parts.append(probs_c)
+            else:
+                probs_c = probs.astype(dtype)
+            ctx = jax.lax.dot_general(
+                probs_c, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            ctx_parts.append(ctx.astype(dtype))
+        if probs_ref is not None:
+            probs_ref[:, pl.ds(j * G, G), :, :] = jnp.stack(probs_parts, axis=1)
+        ctx_s[:, :, pl.ds(lo, S)] = jnp.concatenate(ctx_parts, axis=-1)
+
+    if n_groups == 1:
+        consume(jnp.int32(0), logits_for(jnp.int32(0)))
+        return
+
+    def body(j, carry):
+        nxt = logits_for(j + 1)
+        consume(j, carry)
+        return nxt
+
+    carry = jax.lax.fori_loop(0, n_groups - 1, body, logits_for(jnp.int32(0)))
+    consume(jnp.int32(n_groups - 1), carry)
+
+
 def _fwd_kernel_loop(
     x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
     qkv_s, ctx_s,
@@ -376,7 +449,8 @@ def _fwd_kernel_loop(
         + bqkv_ref[0]
     )
     qkv_s[...] = qkv.astype(qkv_s.dtype).reshape(TB, N, 3 * D)
-    _loop_heads_fwd(qkv_s, ctx_s, num_heads, D // num_heads, wproj_ref.dtype)
+    heads_loop = _loop_heads_fwd_pipe if PIPELINE_FWD else _loop_heads_fwd
+    heads_loop(qkv_s, ctx_s, num_heads, D // num_heads, wproj_ref.dtype)
     ctx2 = ctx_s[...].reshape(TB * N, D)
     out = (
         jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
@@ -406,33 +480,38 @@ def _fwd_stash_kernel_loop(
     )
     qkv_ref[...] = qkv.astype(qkv_ref.dtype).reshape(TB, N, 3 * D)
 
-    def body(j, _):
-        lo = pl.multiple_of(j * S, 128)
-        q_g = qkv_ref[:, :, pl.ds(lo, S)]
-        k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
-        v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
-        ctx_parts, probs_parts = [], []
-        for u in range(G):
-            q = q_g[:, :, u * hd:(u + 1) * hd]
-            k = k_g[:, :, u * hd:(u + 1) * hd]
-            v = v_g[:, :, u * hd:(u + 1) * hd]
-            logits = jax.lax.dot_general(
-                q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            probs = jax.nn.softmax(logits * attn_scale, axis=-1)
-            probs_c = probs.astype(probs_ref.dtype)
-            probs_parts.append(probs_c)
-            ctx = jax.lax.dot_general(
-                probs_c, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-            ctx_parts.append(ctx.astype(wproj_ref.dtype))
-        probs_ref[:, pl.ds(j * G, G), :, :] = jnp.stack(probs_parts, axis=1)
-        ctx_s[:, :, pl.ds(lo, S)] = jnp.concatenate(ctx_parts, axis=-1)
-        return 0
+    if PIPELINE_FWD:
+        _loop_heads_fwd_pipe(
+            qkv_ref, ctx_s, num_heads, hd, wproj_ref.dtype, probs_ref=probs_ref
+        )
+    else:
+        def body(j, _):
+            lo = pl.multiple_of(j * S, 128)
+            q_g = qkv_ref[:, :, pl.ds(lo, S)]
+            k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
+            v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
+            ctx_parts, probs_parts = [], []
+            for u in range(G):
+                q = q_g[:, :, u * hd:(u + 1) * hd]
+                k = k_g[:, :, u * hd:(u + 1) * hd]
+                v = v_g[:, :, u * hd:(u + 1) * hd]
+                logits = jax.lax.dot_general(
+                    q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+                probs_c = probs.astype(probs_ref.dtype)
+                probs_parts.append(probs_c)
+                ctx = jax.lax.dot_general(
+                    probs_c, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                )
+                ctx_parts.append(ctx.astype(wproj_ref.dtype))
+            probs_ref[:, pl.ds(j * G, G), :, :] = jnp.stack(probs_parts, axis=1)
+            ctx_s[:, :, pl.ds(lo, S)] = jnp.concatenate(ctx_parts, axis=-1)
+            return 0
 
-    jax.lax.fori_loop(0, num_heads // G, body, 0)
+        jax.lax.fori_loop(0, num_heads // G, body, 0)
     ctx2 = ctx_s[...].reshape(TB * N, D)
     out = (
         jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]

@@ -616,6 +616,48 @@ def test_loop_heads_backward_parity_both_modes():
             )
 
 
+def test_pipelined_fwd_loop_parity():
+    """PIPELINE_FWD restructures the loop-heads forward into a carried
+    lookahead (group j+1 logits issued alongside group j softmax); the
+    numerics must be identical to the straight loop and the XLA oracle,
+    in both the plain and stash forward (and through the stash backward,
+    which consumes pipe-written probs)."""
+    from sky_embeddings_tpu.ops.kernels import attn_block as ab
+
+    args = _wide_attn_inputs()
+    g = jnp.asarray(
+        np.random.default_rng(11).normal(size=args[0].shape).astype(np.float32)
+    )
+    out_x = ab.xla_attn_block(*args, 16)
+    saved = ab.PIPELINE_FWD
+    try:
+        ab.PIPELINE_FWD = True
+        # plain forward, multi-group (H=16, hd=16 -> G=8, 2 iterations)
+        out_p = ab.fused_attn_block(*args, 16, 4, 4, True)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=2e-5)
+        # single-group degenerate path (H=2, hd=128 -> G=1, n_groups=2)
+        out_p2 = ab.fused_attn_block(*args, 2, 4, 4, True)
+        out_x2 = ab.xla_attn_block(*args, 2)
+        np.testing.assert_allclose(np.asarray(out_p2), np.asarray(out_x2), atol=2e-5)
+
+        # stash path: pipe-written probs feed the stash backward
+        def loss_k(*a):
+            return (ab.fused_attn_block(*a, 16, 4, 4, True, True) * g).sum()
+
+        grads_p = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    finally:
+        ab.PIPELINE_FWD = saved
+
+    def loss_x(*a):
+        return (ab.xla_attn_block(*a, 16) * g).sum()
+
+    grads_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    for gk, gx in zip(grads_p, grads_x):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gx), atol=5e-4, rtol=1e-3
+        )
+
+
 def test_int8_multi_query_two_stage_agreement():
     """Multi-query int8 two-stage: each query's exact-rescored top-k must
     agree with the single-query two-stage path and carry exact fp32 scores."""

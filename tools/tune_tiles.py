@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--mlp-stash", action="store_true")
     ap.add_argument("--stash", action="store_true", default=True)
     ap.add_argument("-n", type=int, default=10)
+    ap.add_argument("--pipeline", action="store_true",
+                    help="enable the pipelined loop-heads forward "
+                         "(attn_block.PIPELINE_FWD) for this sweep")
     ap.add_argument("--vmem-kib", type=int, default=0,
                     help="raise the scoped-VMEM limit for these compiles "
                          "(0 = XLA default 16384; v5e has 128 MB physical)")
@@ -69,8 +72,12 @@ def main():
         )
     B, N, D, H, F, depth = GEOMS[args.geom]
 
+    from sky_embeddings_tpu.ops.kernels import attn_block as _ab
     from sky_embeddings_tpu.ops.kernels.attn_block import fused_attn_block
     from sky_embeddings_tpu.ops.kernels.mlp_block import fused_mlp_block
+
+    if args.pipeline:
+        _ab.PIPELINE_FWD = True
 
     dt = jnp.bfloat16
     key = jax.random.PRNGKey(0)
