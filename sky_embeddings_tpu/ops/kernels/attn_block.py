@@ -59,6 +59,7 @@ DEFAULT_BLOCK_B_BWD = 16
 import os as _os
 
 PIPELINE_FWD = _os.environ.get("SKY_ATTN_PIPELINE", "0") == "1"
+PIPELINE_BWD = _os.environ.get("SKY_ATTN_PIPELINE_BWD", "0") == "1"
 
 
 def _ln_forward(x2: jnp.ndarray, scale, bias, eps=1e-6):
@@ -575,6 +576,96 @@ def _loop_heads_bwd(
     jax.lax.fori_loop(0, num_heads // G, body, 0)
 
 
+def _loop_heads_bwd_pipe(
+    qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads: int, hd: int, dtype
+):
+    """Pipelined variant of the bwd head loop (see ``PIPELINE_BWD``): the
+    carry holds group j's MXU-only precursors — dp = dctx · Vᵀ and, in
+    recompute mode (``probs_ref`` None), the logits — issued one iteration
+    ahead so the softmax-backward VPU pass of group j has an independent
+    MXU stream (group j+1's precursors) to overlap with. Per-op numerics
+    are identical to ``_loop_heads_bwd``."""
+    from jax.experimental import pallas as pl
+
+    D = num_heads * hd
+    G = _head_group(hd)
+    S = G * hd
+    n_groups = num_heads // G
+    attn_scale = hd ** -0.5
+
+    bd = lambda a, b, contract, batch=((0,), (0,)): jax.lax.dot_general(
+        a, b, dimension_numbers=(contract, batch),
+        preferred_element_type=jnp.float32,
+    )
+
+    def produce(j):
+        lo = pl.multiple_of(j * S, 128)
+        v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
+        dc_g = dctx_s[:, :, pl.ds(lo, S)]
+        dp_parts = []
+        for u in range(G):
+            v = v_g[:, :, u * hd:(u + 1) * hd]
+            dc = dc_g[:, :, u * hd:(u + 1) * hd].astype(dtype)
+            dp_parts.append(bd(dc, v, ((2,), (2,))))
+        dps = jnp.stack(dp_parts, axis=1)  # (TB, G, N, N) fp32
+        if probs_ref is not None:
+            return dps, None
+        q_g = qkv_ref[:, :, pl.ds(lo, S)]
+        k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
+        logit_parts = []
+        for u in range(G):
+            q = q_g[:, :, u * hd:(u + 1) * hd]
+            k = k_g[:, :, u * hd:(u + 1) * hd]
+            logit_parts.append(bd(q, k, ((2,), (2,))))
+        return dps, jnp.stack(logit_parts, axis=1)
+
+    def consume(j, carry):
+        dps, logits = carry
+        lo = pl.multiple_of(j * S, 128)
+        q_g = qkv_ref[:, :, pl.ds(lo, S)]
+        k_g = qkv_ref[:, :, pl.ds(D + lo, S)]
+        v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
+        dc_g = dctx_s[:, :, pl.ds(lo, S)]
+        if probs_ref is not None:
+            probs_g = probs_ref[:, pl.ds(j * G, G), :, :]
+        dq_parts, dk_parts, dv_parts, ctx_parts = [], [], [], []
+        for u in range(G):
+            q = q_g[:, :, u * hd:(u + 1) * hd]
+            k = k_g[:, :, u * hd:(u + 1) * hd]
+            v = v_g[:, :, u * hd:(u + 1) * hd]
+            if probs_ref is not None:
+                probs_c = probs_g[:, u]
+                probs = probs_c.astype(jnp.float32)
+            else:
+                probs = jax.nn.softmax(logits[:, u] * attn_scale, axis=-1)
+                probs_c = probs.astype(dtype)
+            ctx_parts.append(bd(probs_c, v, ((2,), (1,))).astype(dtype))
+            dc = dc_g[:, :, u * hd:(u + 1) * hd].astype(dtype)
+            dv = bd(probs_c, dc, ((1,), (1,)))
+            tmp = dps[:, u] * probs
+            ds = (tmp - probs * tmp.sum(axis=-1, keepdims=True)) * attn_scale
+            ds_c = ds.astype(dtype)
+            dq_parts.append(bd(ds_c, k, ((2,), (1,))))
+            dk_parts.append(bd(ds_c, q, ((1,), (1,))))
+            dv_parts.append(dv)
+        dqkv_s[:, :, pl.ds(lo, S)] = jnp.concatenate(dq_parts, axis=-1)
+        dqkv_s[:, :, pl.ds(D + lo, S)] = jnp.concatenate(dk_parts, axis=-1)
+        dqkv_s[:, :, pl.ds(2 * D + lo, S)] = jnp.concatenate(dv_parts, axis=-1)
+        ctx_s[:, :, pl.ds(lo, S)] = jnp.concatenate(ctx_parts, axis=-1)
+
+    if n_groups == 1:
+        consume(jnp.int32(0), produce(jnp.int32(0)))
+        return
+
+    def body(j, carry):
+        nxt = produce(j + 1)
+        consume(j, carry)
+        return nxt
+
+    carry = jax.lax.fori_loop(0, n_groups - 1, body, produce(jnp.int32(0)))
+    consume(jnp.int32(n_groups - 1), carry)
+
+
 def _bwd_stash_kernel_loop(
     x_ref, scale_ref, bias_ref, wqkv_ref, wproj_ref, qkv_ref, probs_ref, g_ref,
     dx_ref, dscale_ref, dbias_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
@@ -594,7 +685,8 @@ def _bwd_stash_kernel_loop(
     dctx = jnp.dot(g_c, wproj_ref[:].T, preferred_element_type=jnp.float32)
     dctx_s[...] = dctx.astype(dctx_s.dtype).reshape(TB, N, D)
 
-    _loop_heads_bwd(
+    heads_bwd = _loop_heads_bwd_pipe if PIPELINE_BWD else _loop_heads_bwd
+    heads_bwd(
         qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads, D // num_heads,
         wqkv_ref.dtype,
     )
@@ -649,7 +741,8 @@ def _bwd_kernel_loop(
     dctx = jnp.dot(g_c, wproj_ref[:].T, preferred_element_type=jnp.float32)
     dctx_s[...] = dctx.astype(dctx_s.dtype).reshape(TB, N, D)
 
-    _loop_heads_bwd(
+    heads_bwd = _loop_heads_bwd_pipe if PIPELINE_BWD else _loop_heads_bwd
+    heads_bwd(
         qkv_s, None, dctx_s, dqkv_s, ctx_s, num_heads, D // num_heads,
         wqkv_ref.dtype,
     )

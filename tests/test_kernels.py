@@ -658,6 +658,38 @@ def test_pipelined_fwd_loop_parity():
         )
 
 
+def test_pipelined_bwd_loop_parity():
+    """PIPELINE_BWD carries each head group's MXU precursors (dp, and the
+    logits in recompute mode) one iteration ahead; gradients must match the
+    XLA oracle in both stash and recompute modes."""
+    from sky_embeddings_tpu.ops.kernels import attn_block as ab
+
+    args = _wide_attn_inputs()
+    g = jnp.asarray(
+        np.random.default_rng(12).normal(size=args[0].shape).astype(np.float32)
+    )
+
+    def loss_x(*a):
+        return (ab.xla_attn_block(*a, 16) * g).sum()
+
+    grads_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    saved = ab.PIPELINE_BWD
+    try:
+        ab.PIPELINE_BWD = True
+        for stash in (False, True):
+            def loss_k(*a):
+                return (ab.fused_attn_block(*a, 16, 4, 4, True, stash) * g).sum()
+
+            grads_p = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+            for gk, gx in zip(grads_p, grads_x):
+                np.testing.assert_allclose(
+                    np.asarray(gk), np.asarray(gx), atol=5e-4, rtol=1e-3,
+                    err_msg=f"pipelined bwd mismatch (stash={stash})",
+                )
+    finally:
+        ab.PIPELINE_BWD = saved
+
+
 def test_int8_multi_query_two_stage_agreement():
     """Multi-query int8 two-stage: each query's exact-rescored top-k must
     agree with the single-query two-stage path and carry exact fp32 scores."""

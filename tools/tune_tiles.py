@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--pipeline", action="store_true",
                     help="enable the pipelined loop-heads forward "
                          "(attn_block.PIPELINE_FWD) for this sweep")
+    ap.add_argument("--pipeline-bwd", action="store_true",
+                    help="enable the pipelined loop-heads backward "
+                         "(attn_block.PIPELINE_BWD) for this sweep")
     ap.add_argument("--vmem-kib", type=int, default=0,
                     help="raise the scoped-VMEM limit for these compiles "
                          "(0 = XLA default 16384; v5e has 128 MB physical)")
@@ -78,6 +81,8 @@ def main():
 
     if args.pipeline:
         _ab.PIPELINE_FWD = True
+    if args.pipeline_bwd:
+        _ab.PIPELINE_BWD = True
 
     dt = jnp.bfloat16
     key = jax.random.PRNGKey(0)
