@@ -658,6 +658,51 @@ def test_pipelined_fwd_loop_parity():
         )
 
 
+def test_pipelined_flagship_head_layout_parity():
+    """The ViT-B head layout (H=12, hd=64 -> G=2, six head groups) runs the
+    pipelined loops through 5 carried iterations plus the epilogue — deeper
+    than the 2-group geometries above. Forward and both backward modes must
+    match the XLA oracle."""
+    from sky_embeddings_tpu.ops.kernels import attn_block as ab
+
+    rng = np.random.default_rng(21)
+    B, N, D, H = 4, 65, 768, 12
+    x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32) * 0.5)
+    scale = jnp.asarray(1.0 + 0.1 * rng.normal(size=D).astype(np.float32))
+    bias = jnp.asarray(0.1 * rng.normal(size=D).astype(np.float32))
+    wqkv = jnp.asarray(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.02)
+    bqkv = jnp.asarray(0.01 * rng.normal(size=3 * D).astype(np.float32))
+    wproj = jnp.asarray(rng.normal(size=(D, D)).astype(np.float32) * 0.02)
+    bproj = jnp.asarray(0.01 * rng.normal(size=D).astype(np.float32))
+    args = (x, scale, bias, wqkv, bqkv, wproj, bproj)
+    g = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+
+    assert ab._use_loop_heads(H, D // H) and H // ab._head_group(D // H) == 6
+    out_x = ab.xla_attn_block(*args, H)
+
+    def loss_x(*a):
+        return (ab.xla_attn_block(*a, H) * g).sum()
+
+    grads_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    saved = ab.PIPELINE_FWD, ab.PIPELINE_BWD
+    try:
+        ab.PIPELINE_FWD = ab.PIPELINE_BWD = True
+        out_p = ab.fused_attn_block(*args, H, 4, 4, True)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=3e-5)
+        for stash in (False, True):
+            def loss_k(*a):
+                return (ab.fused_attn_block(*a, H, 4, 4, True, stash) * g).sum()
+
+            grads_p = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+            for gk, gx in zip(grads_p, grads_x):
+                np.testing.assert_allclose(
+                    np.asarray(gk), np.asarray(gx), atol=2e-3, rtol=2e-3,
+                    err_msg=f"flagship pipelined grad mismatch (stash={stash})",
+                )
+    finally:
+        ab.PIPELINE_FWD, ab.PIPELINE_BWD = saved
+
+
 def test_pipelined_bwd_loop_parity():
     """PIPELINE_BWD carries each head group's MXU precursors (dp, and the
     logits in recompute mode) one iteration ahead; gradients must match the
