@@ -26,6 +26,12 @@ Head-math strategies (kernel-side dispatch, ``_use_loop_heads``):
   head counts with no aligned group decomposition (tiny test geometries).
   Its Mosaic compile cost grows superlinearly with H (H=16 takes ~10 min
   or OOMs the compile helper — the reason the loop form exists).
+* **pipelined loop** (``PIPELINE_FWD`` / ``PIPELINE_BWD``, opt-in): the
+  loop carries the next group's MXU precursors (fwd: logits; bwd: dp and
+  recompute-mode logits) one iteration ahead so each group's VPU softmax
+  pass has an independent MXU stream to overlap with. Identical numerics;
+  enable per-process via SKY_ATTN_PIPELINE[_BWD]=1 after measuring with
+  ``tools/tune_tiles.py --pipeline [--pipeline-bwd]``.
 
 Layout notes:
 * sequences are short (≤ ~70 tokens), so a (batch-tile, ·) slab of every
