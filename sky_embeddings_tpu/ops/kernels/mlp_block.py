@@ -22,6 +22,12 @@ Two backward strategies, chosen by the ``stash`` flag:
   MlpBlock); the attention stash is the one that pays. Inference calls
   never pay the stash write (the custom_vjp primal uses the plain forward).
 
+An opt-in software-pipelined forward (``PIPELINE_FWD`` / env
+``SKY_MLP_PIPELINE=1``) splits the tile's rows into chunks and interleaves
+chunk j+1's LN→fc1 with chunk j's GELU→fc2 so the VPU passes have an
+independent MXU stream to overlap with — identical numerics (LN/GELU are
+row-local); measure with ``tools/tune_tiles.py --mlp-fwd 16 --mlp-pipeline``.
+
 GELU is the exact (erf) form; Mosaic has no erf lowering, so erf uses the
 Abramowitz–Stegun 7.1.26 rational approximation (|err| ≤ 1.5e-7 — below fp32
 noise for this use).
@@ -34,11 +40,23 @@ from __future__ import annotations
 
 import functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
 
 DEFAULT_BLOCK_B = 16
+
+# Software-pipelined row-chunked forward: the tile's rows are split into
+# chunks and chunk j's GELU→fc2 (VPU then MXU) is interleaved with chunk
+# j+1's LN→fc1 (VPU then MXU), giving Mosaic two independent VPU/MXU chains
+# to co-schedule instead of the serial LN→fc1→GELU→fc2 chain. Numerics are
+# identical (LN/GELU are row-local; matmul accumulation order per row is
+# unchanged). Off by default until measured faster on-chip
+# (tools/tune_tiles.py --mlp-pipeline); flip via env SKY_MLP_PIPELINE=1.
+PIPELINE_FWD = _os.environ.get("SKY_MLP_PIPELINE", "0") == "1"
+_PIPE_CHUNKS = 2
+_PIPE_MIN_ROWS = 256  # below this the fc1/fc2 row count is MXU-inefficient
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
@@ -123,6 +141,69 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_
         jnp.dot(h.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32)
         + b2_ref[0]
     )
+    out_ref[:] = (x2 + out).reshape(TB, N, D).astype(out_ref.dtype)
+
+
+def _row_chunks(M: int) -> int:
+    """Chunk count for the pipelined forward: chunks must be whole sublane
+    groups (8 fp32 rows) and large enough to keep the fc1/fc2 matmuls at
+    MXU-efficient row counts."""
+    n = _PIPE_CHUNKS
+    while n > 1 and (M % n or (M // n) % 8 or M // n < _PIPE_MIN_ROWS):
+        n -= 1
+    return n
+
+
+def _fwd_pipe(x2, scale, bias, w1_ref, b1, w2_ref, b2, a_ref=None):
+    """Pipelined LN→fc1→GELU→fc2 over row chunks (see ``PIPELINE_FWD``).
+    ``x2`` is the tile's rows in fp32; returns the (M, D) fp32 block output
+    (residual added by the caller). With ``a_ref`` the fc1 pre-activation is
+    also stashed per chunk (the stash-forward path)."""
+    M, D = x2.shape
+    n = _row_chunks(M)
+    c = M // n
+
+    def produce(j):
+        y, _, _ = _ln_forward(x2[j * c:(j + 1) * c], scale, bias)
+        return (
+            jnp.dot(y.astype(w1_ref.dtype), w1_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b1
+        )
+
+    outs = []
+    a = produce(0)
+    for j in range(n):
+        a_next = produce(j + 1) if j + 1 < n else None
+        if a_ref is not None:
+            a_ref[j * c:(j + 1) * c, :] = a.astype(a_ref.dtype)
+        h = _gelu(a)
+        outs.append(
+            jnp.dot(h.astype(w2_ref.dtype), w2_ref[:],
+                    preferred_element_type=jnp.float32)
+            + b2
+        )
+        a = a_next
+    return jnp.concatenate(outs, axis=0) if n > 1 else outs[0]
+
+
+def _fwd_kernel_pipe(
+    x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref
+):
+    TB, N, D = x_ref.shape
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    out = _fwd_pipe(x2, scale_ref[0], bias_ref[0], w1_ref, b1_ref[0],
+                    w2_ref, b2_ref[0])
+    out_ref[:] = (x2 + out).reshape(TB, N, D).astype(out_ref.dtype)
+
+
+def _fwd_stash_kernel_pipe(
+    x_ref, scale_ref, bias_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, a_ref
+):
+    TB, N, D = x_ref.shape
+    x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
+    out = _fwd_pipe(x2, scale_ref[0], bias_ref[0], w1_ref, b1_ref[0],
+                    w2_ref, b2_ref[0], a_ref=a_ref)
     out_ref[:] = (x2 + out).reshape(TB, N, D).astype(out_ref.dtype)
 
 
@@ -259,7 +340,7 @@ def _pallas_fwd(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
     row = lambda i: (0, 0)
     mat = lambda i: (0, 0)
     return pl.pallas_call(
-        _fwd_kernel,
+        _fwd_kernel_pipe if PIPELINE_FWD else _fwd_kernel,
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -292,7 +373,7 @@ def _pallas_fwd_stash(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
         )
     row = lambda i: (0, 0)
     return pl.pallas_call(
-        _fwd_stash_kernel,
+        _fwd_stash_kernel_pipe if PIPELINE_FWD else _fwd_stash_kernel,
         grid=(B // tb,),
         in_specs=[
             pl.BlockSpec((tb, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -131,6 +131,63 @@ def test_fused_mlp_block_stash_backward_parity():
         )
 
 
+def test_pipelined_mlp_forward_parity():
+    """mlp_block.PIPELINE_FWD restructures the forward into row chunks with
+    chunk j+1's LN→fc1 interleaved against chunk j's GELU→fc2; LN/GELU are
+    row-local, so the chunked output must be bit-comparable to the straight
+    kernel and the XLA oracle — in the plain forward, the stash forward
+    (per-chunk a writes), and through both backwards (which are unchanged
+    but consume the pipe-written stash / primal residuals)."""
+    from sky_embeddings_tpu.ops.kernels import mlp_block as mb
+
+    # geometry chosen so the tile splits into 2 aligned chunks: tb=16, N=32
+    # -> M=512 rows -> 2x256 at the test-lowered row floor
+    args = _mlp_inputs(B=16, N=32)
+    out_x = mb.xla_mlp_block(*args)
+    saved = mb.PIPELINE_FWD, mb._PIPE_MIN_ROWS
+    try:
+        mb.PIPELINE_FWD = True
+        mb._PIPE_MIN_ROWS = 256
+        assert mb._row_chunks(16 * 32) == 2  # the pipeline is exercised
+        out_p = mb.fused_mlp_block(*args, 16, True)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=2e-5)
+
+        # degenerate single-chunk path (tile too small to split)
+        out_p1 = mb.fused_mlp_block(*args, 4, True)
+        np.testing.assert_allclose(np.asarray(out_p1), np.asarray(out_x), atol=2e-5)
+
+        # both backwards through the pipelined differentiation-path forward
+        for stash in (False, True):
+            def loss_k(*a, stash=stash):
+                return (mb.fused_mlp_block(*a, 16, True, stash) ** 2).sum()
+
+            def loss_x(*a):
+                return (mb.xla_mlp_block(*a) ** 2).sum()
+
+            g_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+            g_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+            for name, a, b in zip(["x", "scale", "bias", "w1", "b1", "w2", "b2"], g_k, g_x):
+                s = max(float(np.abs(np.asarray(b)).max()), 1e-3)
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=3e-5 * s, rtol=2e-4,
+                    err_msg=f"pipelined grad mismatch for {name} (stash={stash})",
+                )
+    finally:
+        mb.PIPELINE_FWD, mb._PIPE_MIN_ROWS = saved
+
+
+def test_mlp_row_chunks_alignment():
+    """_row_chunks only splits when chunks are whole sublane groups above
+    the row floor; otherwise it degrades to the straight single chunk."""
+    from sky_embeddings_tpu.ops.kernels import mlp_block as mb
+
+    assert mb._row_chunks(1040) == 2    # flagship training tile: 2x520
+    assert mb._row_chunks(2080) == 2    # fwd tile 32: 2x1040
+    assert mb._row_chunks(68) == 1      # tiny tile: unsplittable (34 % 8)
+    assert mb._row_chunks(400) == 1     # below the 256-row chunk floor
+    assert mb._row_chunks(520) == 1     # 260 % 8 != 0
+
+
 def test_fused_mlp_block_stash_forward_matches_plain():
     """The stash forward's primal output must equal the plain forward."""
     from sky_embeddings_tpu.ops.kernels.mlp_block import fused_mlp_block

@@ -63,6 +63,11 @@ def main():
     ap.add_argument("--pipeline-bwd", action="store_true",
                     help="enable the pipelined loop-heads backward "
                          "(attn_block.PIPELINE_BWD) for this sweep")
+    ap.add_argument("--mlp-pipeline", action="store_true",
+                    help="enable the row-chunked pipelined MLP forward "
+                         "(mlp_block.PIPELINE_FWD) for this sweep")
+    ap.add_argument("--mlp-fwd", default="",
+                    help="comma tiles for the fwd-only MLP chain; empty=skip")
     ap.add_argument("--vmem-kib", type=int, default=0,
                     help="raise the scoped-VMEM limit for these compiles "
                          "(0 = XLA default 16384; v5e has 128 MB physical)")
@@ -76,6 +81,7 @@ def main():
     B, N, D, H, F, depth = GEOMS[args.geom]
 
     from sky_embeddings_tpu.ops.kernels import attn_block as _ab
+    from sky_embeddings_tpu.ops.kernels import mlp_block as _mb
     from sky_embeddings_tpu.ops.kernels.attn_block import fused_attn_block
     from sky_embeddings_tpu.ops.kernels.mlp_block import fused_mlp_block
 
@@ -83,6 +89,8 @@ def main():
         _ab.PIPELINE_FWD = True
     if args.pipeline_bwd:
         _ab.PIPELINE_BWD = True
+    if args.mlp_pipeline:
+        _mb.PIPELINE_FWD = True
 
     dt = jnp.bfloat16
     key = jax.random.PRNGKey(0)
@@ -146,6 +154,14 @@ def main():
                 return x
             return jax.vjp(f, x)[0]  # differentiation-path fwd (writes stash)
         report("attn stash-fwd", tb, attn_stash_fwd_chain)
+
+    for tb in [int(t) for t in args.mlp_fwd.split(",") if t]:
+        @jit
+        def mlp_fwd_chain(x, tb=tb):
+            for _ in range(depth):
+                x = fused_mlp_block(x, scale, bias, w1, b1, w2, b2, tb, False)
+            return x
+        report("mlp fwd", tb, mlp_fwd_chain)
 
     for tb in [int(t) for t in args.mlp.split(",") if t]:
         @jit
