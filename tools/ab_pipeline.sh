@@ -11,6 +11,11 @@ set -u
 cd "$(dirname "$0")/.."
 N=${N:-10}
 
+# Fail fast if the tunneled backend is down: a dead tunnel makes every
+# stage block ~25 min inside PJRT init before raising UNAVAILABLE.
+python tools/tpu_probe.py --timeout 120 || {
+    echo "ab_pipeline: TPU unavailable, aborting" >&2; exit 2; }
+
 echo "=== baseline: attn fwd tb=64 / stash-fwd tb=32 / bwd tb=16, mlp tb=16 ==="
 python tools/tune_tiles.py --geom vitb --attn-fwd 64 --attn-fwd-stash 32 \
     --attn-bwd 16 --mlp-fwd 16 --mlp 16 -n "$N"
