@@ -31,7 +31,12 @@ Head-math strategies (kernel-side dispatch, ``_use_loop_heads``):
   recompute-mode logits) one iteration ahead so each group's VPU softmax
   pass has an independent MXU stream to overlap with. Identical numerics;
   enable per-process via SKY_ATTN_PIPELINE[_BWD]=1 after measuring with
-  ``tools/tune_tiles.py --pipeline [--pipeline-bwd]``.
+  ``tools/tune_tiles.py --pipeline [--pipeline-bwd]``. **A/B-measured on
+  v5e (r3, tools/ab_pipeline.sh): no win** — the fwd+bwd training chain is
+  10.5 ms/layer either way (11.2 with both pipelined), and what the sweep
+  initially credited to pipelining was a batch-tile effect (the stash-fwd
+  simply wants tb=16, now the ``auto_block_b_fwd`` default). Stays opt-in
+  for re-measurement on future toolchains.
 
 Layout notes:
 * sequences are short (≤ ~70 tokens), so a (batch-tile, ·) slab of every
@@ -831,15 +836,18 @@ def auto_block_b(
 def auto_block_b_fwd(B: int, D: int, stash: bool, n_tokens: int = 65) -> int:
     """Measured fwd tile optima (tools/tune_tiles.py, r3 on v5e): the plain
     fwd prefers 64 at ViT-B width (3.395 vs 3.529 ms/layer) while the stash
-    fwd's extra qkv+probs outputs cap it at 32 (tb=64 exhausts the compile
-    helper); both hold 32 through D=1024 (1.475/1.516 ms/layer at ViT-L);
-    at D≥1280 the smaller tile wins (fwd tb=8 1.072 vs tb=16 1.136 at
-    ViT-H). Short sequences scale the tile up by the padded-sublane ratio
+    fwd — which streams the qkv+probs outputs back to HBM — wants a smaller
+    tile so the sequential grid pipelines those stores against the next
+    tile's matmuls: tb=16 at ViT-B (3.24 vs 3.61 ms/layer at tb=32), tb=8
+    at ViT-L (1.44 vs 1.63/1.52 at tb=16/32). The plain fwd holds 32
+    through D=1024 (1.475 vs 1.516 ms/layer at ViT-L); at D≥1280 the
+    smaller tile wins everywhere (fwd tb=8 1.072 vs tb=16 1.136 at ViT-H).
+    Short sequences scale the tile up by the padded-sublane ratio
     (:func:`_seq_scale`)."""
     if D <= 768:
-        tb = 32 if stash else 64
+        tb = 16 if stash else 64
     elif D <= 1024:
-        tb = 32
+        tb = 8 if stash else 32
     else:
         tb = 8
     target = tb * _seq_scale(n_tokens)

@@ -27,6 +27,11 @@ An opt-in software-pipelined forward (``PIPELINE_FWD`` / env
 chunk j+1's LN→fc1 with chunk j's GELU→fc2 so the VPU passes have an
 independent MXU stream to overlap with — identical numerics (LN/GELU are
 row-local); measure with ``tools/tune_tiles.py --mlp-fwd 16 --mlp-pipeline``.
+**A/B-measured on v5e (r3, tools/ab_pipeline.sh): no win** — at tb=16 the
+chunked and straight forwards time identically (4.92 ms/layer), and the
+apparent pipelined-tb=8 win was a batch-tile effect (chunking is inert at
+tb=8 rows; the plain forward at tb=8 measures the same 4.33 ms/layer — now
+the ``auto_block_b_fwd`` default). Stays opt-in for future re-measurement.
 
 GELU is the exact (erf) form; Mosaic has no erf lowering, so erf uses the
 Abramowitz–Stegun 7.1.26 rational approximation (|err| ≤ 1.5e-7 — below fp32
@@ -75,20 +80,50 @@ def auto_block_b(
     sequences shrink every tb·N activation term proportionally, so the tile
     cap grows by the padded-sublane ratio — the grown tile's VMEM footprint
     stays at or under the measured-compiling flagship tiles (e.g. the MAE
-    encoder's tb=32 at N=17 ≈ tb=10.7 at N=65 in activation bytes). Sweep
-    with ``tools/tune_tiles.py --geom maeenc|maedec`` to re-measure."""
+    encoder's tb=32 at N=17 ≈ tb=10.7 at N=65 in activation bytes). Growth
+    from a *narrower* geometry is capped by the F ratio alone: the backward
+    holds four fp32 (tb·N, F) slabs (a, h, dh, da), so scaling tb by the
+    D·F weight ratio overshoots VMEM when D shrinks but F stays large —
+    measured: the MAE decoder (D=512, F=2048) backward needs 109 MB at the
+    D·F-scaled tb=32 vs the 100 MB limit, and compiles at the F-scaled
+    tb=16. Sweep with ``tools/tune_tiles.py --geom maeenc|maedec``."""
     scale = (768 * 3072) / float(D * F)
+    grow = min(scale, 3072.0 / F)
     scale *= _seq_scale(n_tokens)
+    grow *= _seq_scale(n_tokens)
     tb = base
     while tb > 4 and tb > base * scale:
         tb //= 2
-    while tb * 2 <= base * scale and tb * 2 <= B and B % (tb * 2) == 0:
+    while tb * 2 <= base * grow and tb * 2 <= B and B % (tb * 2) == 0:
         tb *= 2
     while tb > 1 and tb > base * scale:  # long sequences shrink the budget
         tb //= 2
     while tb > 1 and B % tb:
         tb //= 2
     return max(tb, 1)
+
+
+def auto_block_b_fwd(B: int, D: int, F: int, n_tokens: int = 65) -> int:
+    """Measured fwd-only tile optima (tools/tune_tiles.py --mlp-fwd, r3 on
+    v5e): the forward (also the recompute inside the non-stash backward's
+    *primal*, and every inference call) wants roughly 260–520 rows per tile
+    so the sequential grid pipelines the next tile's HBM x-load against the
+    current tile's matmuls — half the backward's tile at each geometry:
+    tb=8 at ViT-B (4.33 vs 4.93 ms/layer at tb=16), tb=4 at ViT-L (1.89 vs
+    2.20 at tb=8) and ViT-H (1.49 vs 1.63/1.52 at tb=8/2). Short sequences
+    scale the tile up by the padded-sublane ratio (:func:`_seq_scale`) —
+    the MAE encoder (N=17) measures fastest at the scaled tb=16 (1.32 vs
+    1.37 ms/layer at tb=8). The backward keeps :func:`auto_block_b` (its
+    grad accumulators want fewer, larger grid steps)."""
+    tb = 8 if D <= 768 else 4
+    target = tb * _seq_scale(n_tokens)
+    while tb * 2 <= target and tb * 2 <= B and B % (tb * 2) == 0:
+        tb *= 2
+    while tb > 1 and tb > target:  # long sequences shrink the same budget
+        tb //= 2
+    while tb > 1 and B % tb:
+        tb //= 2
+    return max(min(tb, B), 1)
 
 
 def _seq_scale(n_tokens: int) -> float:
@@ -330,7 +365,7 @@ def _pallas_fwd(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B) if block_b else auto_block_b(B, D, F, n_tokens=N)
+    tb = min(block_b, B) if block_b else auto_block_b_fwd(B, D, F, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -364,7 +399,7 @@ def _pallas_fwd_stash(x, scale, bias, w1, b1, w2, b2, block_b, interpret):
 
     B, N, D = x.shape
     F = w1.shape[1]
-    tb = min(block_b, B) if block_b else auto_block_b(B, D, F, n_tokens=N)
+    tb = min(block_b, B) if block_b else auto_block_b_fwd(B, D, F, n_tokens=N)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
