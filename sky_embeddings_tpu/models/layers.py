@@ -203,6 +203,14 @@ class MlpBlock(nn.Module):
         # XLA mlp in a loop encoder reaches 409 img/s vs 371 for the
         # fused-mlp scan encoder — so wider-than-ViT-L blocks dispatch
         # to XLA (whose own fwd+bwd runs near the MXU roofline there).
+        # No width floor / token-padding cap: standalone kernel chains
+        # measure XLA's mlp faster at the MAE geometries (N=17 enc: XLA
+        # 2.66 vs fused 3.87 ms/layer; D=512 dec: 5.63 vs 6.45), but
+        # in the full MAE model both XLA-mlp dispatches measured SLOWER
+        # (4935 img/s fused-everywhere vs 4603 XLA-dec / 4483 XLA-both,
+        # r3 on v5e) — the isolated-chain win does not survive the layout
+        # transitions next to the fused attention kernels, so the fused
+        # path keeps these geometries.
         if (
             jax.default_backend() == "tpu"
             and self.dtype == jnp.bfloat16
