@@ -125,6 +125,7 @@ def extract_latents(
     num_augmentations: int = 16,
     key: Optional[jax.Array] = None,
     return_images: bool = False,
+    to_host: bool = True,
 ):
     """Batched encoder-only embeddings (reference ``mae_latent``,
     ``eval_fns.py:72-140``).
@@ -132,7 +133,8 @@ def extract_latents(
     With ``apply_augmentations``, each sample contributes 1 original +
     ``num_augmentations`` augmented copies (augmented on device). Prefix
     tokens (cls [+ ra_dec]) are stripped when ``remove_prefix`` unless the
-    model attention-pools (single pooled token).
+    model attention-pools (single pooled token). With ``to_host=False`` the
+    latents stay on device as a jnp array (used by the on-device probe).
     """
     attn_pooled = getattr(model, "attn_pool", False) and getattr(model, "simmim", False)
     if attn_pooled:
@@ -165,10 +167,10 @@ def extract_latents(
         tokens = encode(imgs, ra_dec)
         if remove_prefix and not attn_pooled:
             tokens = tokens[:, model.num_extra_tokens :]
-        latents.append(np.asarray(tokens))
+        latents.append(tokens if not to_host else np.asarray(tokens))
         if return_images:
             images.append(np.asarray(imgs))
-    latents = np.concatenate(latents)
+    latents = jnp.concatenate(latents) if not to_host else np.concatenate(latents)
     if return_images:
         return latents, np.concatenate(images)
     return latents

@@ -7,15 +7,21 @@ LogisticRegression(C=0.01) accuracy, ElasticNet(alpha=1e-4, l1_ratio=0.9) R²,
 feature pooling modes token/flatten/pool/centralpool/central/mean with
 StandardScaler.
 
-Embedding extraction runs on device; the (seconds-scale) sklearn fits run on
-host. A jax-native ridge/logistic path can replace sklearn when running
-headless without it.
+Two backends:
+
+- ``backend="jax"`` (default): fully on-device — embeddings stay on the
+  accelerator, pooling/standardization/fits run jit-compiled
+  (``eval/probe_jax.py``: closed-form ridge + L-BFGS logistic). No sklearn
+  dependency and no host stall during the periodic probe.
+- ``backend="sklearn"``: the reference-exact host path, kept as the parity
+  oracle (``tests/test_probe_jax.py`` asserts both agree within tolerance).
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from sky_embeddings_tpu.eval.eval_fns import extract_latents
@@ -27,9 +33,10 @@ except ImportError:  # pragma: no cover
     h5py = None
 
 
-def pool_features(latents: np.ndarray, combine: str = "central") -> np.ndarray:
+def pool_features(latents, combine: str = "central"):
     """(B, L, D) token features -> (B, F) probe features
-    (reference ``get_embeddings`` pooling, ``pretrain_fns.py:136-153``)."""
+    (reference ``get_embeddings`` pooling, ``pretrain_fns.py:136-153``).
+    Works on numpy and jnp arrays alike."""
     if combine == "token":
         return latents[:, :1].reshape(latents.shape[0], -1)
     if combine == "flatten":
@@ -53,8 +60,13 @@ def probe_features(
     combine: str = "central",
     batch_size: int = 64,
     img_size: int = 64,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Embed a probe h5 file and pool features; returns (X, y)."""
+    to_host: bool = True,
+):
+    """Embed a probe h5 file and pool features; returns (X, y).
+
+    With ``to_host=False`` the pooled features stay on device (jnp) and
+    standardization is left to the on-device fit.
+    """
     from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
 
     if h5py is None:
@@ -64,7 +76,9 @@ def probe_features(
         shuffle=False, drop_remainder=False,
     )
     remove_prefix = combine != "token"
-    latents = extract_latents(model, variables, batcher, remove_prefix=remove_prefix)
+    latents = extract_latents(
+        model, variables, batcher, remove_prefix=remove_prefix, to_host=to_host
+    )
     with h5py.File(data_path, "r") as f:
         y = np.asarray(f[y_label][: latents.shape[0]])
 
@@ -72,11 +86,32 @@ def probe_features(
     if attn_pooled:
         combine = "flatten"  # single pooled token (ref pretrain_fns.py:131-133)
     x = pool_features(latents, combine)
+    if to_host:
+        from sklearn.preprocessing import StandardScaler
 
-    from sklearn.preprocessing import StandardScaler
-
-    x = StandardScaler().fit_transform(x)
+        x = StandardScaler().fit_transform(np.asarray(x))
     return x, y
+
+
+def _linear_probe_sklearn(x_cls, y_cls, x_reg, y_reg) -> dict[str, float]:
+    from sklearn.linear_model import ElasticNet, LogisticRegression
+    from sklearn.metrics import accuracy_score, r2_score
+    from sklearn.model_selection import train_test_split
+
+    metrics: dict[str, float] = {}
+    if x_cls is not None:
+        xtr, xte, ytr, yte = train_test_split(x_cls, y_cls, test_size=0.2, random_state=42)
+        clf = LogisticRegression(max_iter=10000, C=0.01, random_state=42)
+        clf.fit(xtr, ytr)
+        metrics["train_lp_acc"] = float(accuracy_score(ytr, clf.predict(xtr)))
+        metrics["val_lp_acc"] = float(accuracy_score(yte, clf.predict(xte)))
+    if x_reg is not None:
+        xtr, xte, ytr, yte = train_test_split(x_reg, y_reg, test_size=0.2, random_state=42)
+        reg = ElasticNet(alpha=1e-4, l1_ratio=0.9, max_iter=10000, random_state=42)
+        reg.fit(xtr, ytr)
+        metrics["train_lp_r2"] = float(r2_score(ytr, reg.predict(xtr)))
+        metrics["val_lp_r2"] = float(r2_score(yte, reg.predict(xte)))
+    return metrics
 
 
 def linear_probe(
@@ -86,26 +121,40 @@ def linear_probe(
     regress_data_path: Optional[str] = None,
     combine: str = "central",
     img_size: int = 64,
+    backend: str = "jax",
 ) -> dict[str, float]:
     """Fit the probes; returns a metrics dict
     {train_lp_acc, val_lp_acc, train_lp_r2, val_lp_r2} (subset by task)."""
-    from sklearn.linear_model import ElasticNet, LogisticRegression
-    from sklearn.metrics import accuracy_score, r2_score
-    from sklearn.model_selection import train_test_split
+    if backend == "jax":
+        from sky_embeddings_tpu.eval.probe_jax import (
+            probe_classification,
+            probe_regression,
+        )
 
-    metrics: dict[str, float] = {}
+        metrics: dict[str, float] = {}
+        if class_data_path:
+            x, y = probe_features(
+                model, variables, class_data_path, "class", combine,
+                img_size=img_size, to_host=False,
+            )
+            metrics.update(probe_classification(x, y))
+        if regress_data_path:
+            x, y = probe_features(
+                model, variables, regress_data_path, "zspec", combine,
+                img_size=img_size, to_host=False,
+            )
+            metrics.update(probe_regression(x, y))
+        return metrics
+    if backend != "sklearn":
+        raise ValueError(f"unknown probe backend {backend!r}")
+
+    x_cls = y_cls = x_reg = y_reg = None
     if class_data_path:
-        x, y = probe_features(model, variables, class_data_path, "class", combine, img_size=img_size)
-        xtr, xte, ytr, yte = train_test_split(x, y, test_size=0.2, random_state=42)
-        clf = LogisticRegression(max_iter=10000, C=0.01, random_state=42)
-        clf.fit(xtr, ytr)
-        metrics["train_lp_acc"] = float(accuracy_score(ytr, clf.predict(xtr)))
-        metrics["val_lp_acc"] = float(accuracy_score(yte, clf.predict(xte)))
+        x_cls, y_cls = probe_features(
+            model, variables, class_data_path, "class", combine, img_size=img_size
+        )
     if regress_data_path:
-        x, y = probe_features(model, variables, regress_data_path, "zspec", combine, img_size=img_size)
-        xtr, xte, ytr, yte = train_test_split(x, y, test_size=0.2, random_state=42)
-        reg = ElasticNet(alpha=1e-4, l1_ratio=0.9, max_iter=10000, random_state=42)
-        reg.fit(xtr, ytr)
-        metrics["train_lp_r2"] = float(r2_score(ytr, reg.predict(xtr)))
-        metrics["val_lp_r2"] = float(r2_score(yte, reg.predict(xte)))
-    return metrics
+        x_reg, y_reg = probe_features(
+            model, variables, regress_data_path, "zspec", combine, img_size=img_size
+        )
+    return _linear_probe_sklearn(x_cls, y_cls, x_reg, y_reg)

@@ -1,0 +1,105 @@
+"""Parity tests for the on-device (jax) linear probe vs the sklearn oracle.
+
+VERDICT r3 item #2: jax-native closed-form ridge + L-BFGS logistic probe,
+sklearn kept as an optional parity oracle (reference protocol:
+``utils/pretrain_fns.py:52-159``).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from sky_embeddings_tpu.eval import probe_jax
+
+
+def _make_class_data(n=600, d=32, k=3, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 2.0, size=(k, d))
+    y = rng.integers(0, k, size=n)
+    x = centers[y] + rng.normal(0, 1.5, size=(n, d))
+    return x.astype(np.float32), y.astype(np.int64)
+
+
+def _make_reg_data(n=600, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(0, 1.0, size=d)
+    x = rng.normal(0, 1.0, size=(n, d))
+    y = x @ w + rng.normal(0, 0.5, size=n)
+    return x.astype(np.float32), y.astype(np.float32)
+
+
+def test_split_indices_match_sklearn():
+    sklearn = pytest.importorskip("sklearn")
+    from sklearn.model_selection import train_test_split
+
+    n = 137
+    idx = np.arange(n)
+    tr_ref, te_ref = train_test_split(idx, test_size=0.2, random_state=42)
+    tr, te = probe_jax.split_indices(n, test_size=0.2, seed=42)
+    np.testing.assert_array_equal(np.sort(tr), np.sort(tr_ref))
+    np.testing.assert_array_equal(np.sort(te), np.sort(te_ref))
+
+
+def test_logistic_parity_with_sklearn():
+    pytest.importorskip("sklearn")
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.metrics import accuracy_score
+    from sklearn.model_selection import train_test_split
+    from sklearn.preprocessing import StandardScaler
+
+    x, y = _make_class_data()
+    xs = StandardScaler().fit_transform(x)
+    xtr, xte, ytr, yte = train_test_split(xs, y, test_size=0.2, random_state=42)
+    clf = LogisticRegression(max_iter=10000, C=0.01, random_state=42)
+    clf.fit(xtr, ytr)
+    acc_ref = accuracy_score(yte, clf.predict(xte))
+
+    metrics = probe_jax.probe_classification(x, y)
+    assert abs(metrics["val_lp_acc"] - acc_ref) <= 0.02
+    assert metrics["train_lp_acc"] > 0.6
+
+
+def test_ridge_parity_with_elasticnet():
+    pytest.importorskip("sklearn")
+    from sklearn.linear_model import ElasticNet
+    from sklearn.metrics import r2_score
+    from sklearn.model_selection import train_test_split
+    from sklearn.preprocessing import StandardScaler
+
+    x, y = _make_reg_data()
+    xs = StandardScaler().fit_transform(x)
+    xtr, xte, ytr, yte = train_test_split(xs, y, test_size=0.2, random_state=42)
+    reg = ElasticNet(alpha=1e-4, l1_ratio=0.9, max_iter=10000, random_state=42)
+    reg.fit(xtr, ytr)
+    r2_ref = r2_score(yte, reg.predict(xte))
+
+    metrics = probe_jax.probe_regression(x, y)
+    assert abs(metrics["val_lp_r2"] - r2_ref) <= 0.01
+    assert metrics["val_lp_r2"] > 0.5
+
+
+def test_probe_jax_runs_without_sklearn(monkeypatch):
+    """The default probe backend must not touch sklearn at all."""
+    for mod in list(sys.modules):
+        if mod == "sklearn" or mod.startswith("sklearn."):
+            monkeypatch.setitem(sys.modules, mod, None)
+    monkeypatch.setitem(sys.modules, "sklearn", None)
+
+    x, y = _make_class_data(n=200, d=8)
+    m = probe_jax.probe_classification(x, y)
+    assert 0.0 <= m["val_lp_acc"] <= 1.0
+    xr, yr = _make_reg_data(n=200, d=8)
+    mr = probe_jax.probe_regression(xr, yr)
+    assert mr["val_lp_r2"] <= 1.0
+
+
+def test_standardize_matches_scaler():
+    pytest.importorskip("sklearn")
+    from sklearn.preprocessing import StandardScaler
+
+    x, _ = _make_reg_data(n=100, d=5)
+    x[:, 2] = 3.0  # zero-variance feature
+    ref = StandardScaler().fit_transform(x)
+    got = np.asarray(probe_jax.standardize(x))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
