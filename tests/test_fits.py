@@ -160,3 +160,85 @@ def test_batcher_overlap_mode(tmp_path, wcs):
     batches = list(b)
     n = len(overlap_coords((160, 150), 64, 0.4))
     assert len(batches) == n // 4
+
+
+def test_sky_search_fits_bank_and_multi(tmp_path, wcs):
+    """sky_sim_search.py survey-scale surface over a real FITS tile stream:
+    --bank builds once / reuses on the next call, and the one-pass
+    multi-target search returns per-group results (VERDICT r3 #8)."""
+    import sys
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sky_sim_search import _parse_target_groups, bank_sky_search
+
+    from sky_embeddings_tpu.eval.simsearch import mim_simsearch_multi
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    groups, multi = _parse_target_groups("[[1,2],[5,6]]")
+    assert multi and groups == [[1, 2], [5, 6]]
+    groups1, multi1 = _parse_target_groups("[1,2]")
+    assert not multi1 and groups1 == [[1, 2]]
+
+    _write_tile_set(tmp_path, wcs)
+
+    def fresh_batcher():
+        return FitsTileBatcher(
+            [str(tmp_path)], bands=("G", "R", "I"), min_bands=2, img_size=64,
+            batch_size=4, use_overlap=True, overlap=0.4, shuffle=False,
+        )
+
+    model = SkyMIM(
+        img_size=64, patch_size=16, in_chans=3, embed_dim=32, depth=1,
+        num_heads=4, decoder_embed_dim=16, decoder_depth=1,
+        decoder_num_heads=2, simmim=True,
+    )
+    imgs0 = jnp.zeros((1, 3, 64, 64), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), imgs0, mask=jnp.zeros_like(imgs0)
+    )
+
+    rng = np.random.default_rng(9)
+    target_latents = [
+        np.asarray(model.apply(
+            variables,
+            jnp.asarray(rng.normal(size=(5, 3, 64, 64)).astype(np.float32)),
+            method=SkyMIM.encode,
+        )[0])
+        for _ in range(2)
+    ]
+
+    # --bank: first call builds the bank from the FITS sweep
+    args = SimpleNamespace(cls_token="False", max_pool="True", n_save=6)
+    bank_path = str(tmp_path / "sky_bank.h5")
+    results = bank_sky_search(
+        model, variables, target_latents, fresh_batcher(), bank_path, args,
+    )
+    assert os.path.exists(bank_path)
+    assert len(results) == 2
+    for ra_decs, scores, feats in results:
+        assert ra_decs.shape == (6, 2) and scores.shape == (6,)
+        assert feats.shape[0] == 6
+        assert np.all(np.diff(scores) <= 1e-6)  # best-first
+        assert np.isfinite(scores).all()
+
+    # second call answers from the saved bank (stream exhausted on purpose)
+    results2 = bank_sky_search(
+        model, variables, target_latents, iter(()), bank_path, args,
+    )
+    for (ra1, s1, _), (ra2, s2, _) in zip(results, results2):
+        np.testing.assert_allclose(s2, s1, atol=1e-5)
+        np.testing.assert_allclose(ra2, ra1, atol=1e-6)
+
+    # streaming multi-target over the same FITS stream: per-group winners
+    multi_results = mim_simsearch_multi(
+        model, variables, target_latents, fresh_batcher(), n_save=6,
+        metric="cosine", combine="min", max_pool=True, log_every=0,
+    )
+    assert len(multi_results) == 2
+    for imgs, latent, ra, scores in multi_results:
+        assert imgs.shape == (6, 3, 64, 64) and ra.shape == (6, 2)
+        assert scores.shape == (6,) and np.isfinite(scores).all()
