@@ -1,0 +1,139 @@
+"""Device-resident dataset cache for small corpora.
+
+When the whole training set fits in HBM (e.g. 40k 64×64×5 cutouts ≈ 3.3 GB
+fp32 / 1.6 GB bf16 on a 16 GB v5e), streaming it from the host every step
+wastes the interconnect: the same bytes cross host→device once per epoch
+forever. This cache pays the transfer ONCE and then serves every batch as an
+on-device gather (~µs), which also removes the host loader from the step's
+critical path entirely.
+
+The reference has no equivalent (its DataLoader re-reads h5 rows per item,
+``utils/dataloaders.py:221-328``); this is a TPU-native addition for
+probe/validation-scale corpora. For survey-scale files use ``H5Batcher``.
+
+Yields the same dict-batch schema as ``H5Batcher``:
+``{"cutouts", "ra_dec"[, "labels"]}`` — drop-in for ``train_network`` /
+``train_predictor_network`` / ``extract_latents``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+
+class DeviceDataset:
+    """Full dataset resident in HBM; batches are on-device gathers."""
+
+    def __init__(
+        self,
+        path: str,
+        batch_size: int,
+        img_size: int = 64,
+        label_keys: Optional[Sequence[str]] = None,
+        shuffle: bool = True,
+        indices: Optional[Sequence[int]] = None,
+        pixel_min: Optional[float] = -3.0,
+        pixel_max: Optional[float] = None,
+        drop_remainder: bool = True,
+        seed: int = 0,
+        dtype=jnp.float32,
+        max_bytes: int = 8 << 30,
+    ):
+        """``dtype``: storage dtype on device (``jnp.bfloat16`` halves HBM;
+        models cast inputs anyway). ``max_bytes`` guards against silently
+        device-loading survey-scale files — raises with a pointer to
+        ``H5Batcher`` instead."""
+        if h5py is None:
+            raise ImportError("h5py is required for the HDF5 data path")
+        from sky_embeddings_tpu.data.h5_loader import central_crop
+
+        self.batch_size = batch_size
+        self.drop_remainder = drop_remainder
+        self._seed = seed
+        self._epoch = 0
+        self.label_keys = list(label_keys) if label_keys else None
+
+        with h5py.File(path, "r") as f:
+            n = f["cutouts"].shape[0] if indices is None else len(indices)
+            bytes_needed = n * int(np.prod(f["cutouts"].shape[1:])) * np.dtype(dtype).itemsize
+            if bytes_needed > max_bytes:
+                raise ValueError(
+                    f"{path} needs {bytes_needed / 2**30:.1f} GiB on device "
+                    f"(> max_bytes={max_bytes / 2**30:.1f} GiB) — use the "
+                    "streaming H5Batcher for survey-scale files"
+                )
+            sel = np.sort(np.asarray(indices)) if indices is not None else slice(None)
+            cutouts = f["cutouts"][sel]
+            ra = f["ra"][sel]
+            dec = f["dec"][sel]
+            cols = [f[k][sel] for k in self.label_keys] if self.label_keys else None
+
+        cutouts = np.asarray(cutouts, np.float32)
+        if pixel_min is not None:
+            np.maximum(cutouts, pixel_min, out=cutouts)
+        if pixel_max is not None:
+            np.minimum(cutouts, pixel_max, out=cutouts)
+        if cutouts.shape[-1] > img_size or cutouts.shape[-2] > img_size:
+            cutouts = np.ascontiguousarray(central_crop(cutouts, img_size))
+
+        # the one-time transfers
+        self.cutouts = jax.device_put(jnp.asarray(cutouts, dtype))
+        self.ra_dec = jax.device_put(
+            jnp.stack([jnp.asarray(ra, jnp.float32), jnp.asarray(dec, jnp.float32)], axis=1)
+        )
+        self.labels = None
+        if cols is not None:
+            lab_dtype = jnp.int32 if "class" in self.label_keys else jnp.float32
+            labels = np.stack(cols, axis=-1)
+            if labels.ndim > 2:
+                labels = labels.reshape(len(cutouts), -1)
+            self.labels = jax.device_put(jnp.asarray(labels, lab_dtype))
+        self.num_samples = int(self.cutouts.shape[0])
+        self.shuffle = shuffle
+
+    def __len__(self) -> int:
+        if self.drop_remainder:
+            return self.num_samples // self.batch_size
+        return (self.num_samples + self.batch_size - 1) // self.batch_size
+
+    def _gather(self, rows: np.ndarray) -> dict:
+        idx = jnp.asarray(rows)
+        batch = {
+            "cutouts": jnp.take(self.cutouts, idx, axis=0),
+            "ra_dec": jnp.take(self.ra_dec, idx, axis=0),
+        }
+        if self.labels is not None:
+            batch["labels"] = jnp.take(self.labels, idx, axis=0)
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        self._epoch += 1
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            np.random.default_rng(self._seed + self._epoch).shuffle(order)
+        n_full = self.num_samples // self.batch_size
+        for i in range(n_full):
+            yield self._gather(order[i * self.batch_size : (i + 1) * self.batch_size])
+        rest = order[n_full * self.batch_size :]
+        if len(rest) and not self.drop_remainder:
+            yield self._gather(rest)
+
+    def take(self, n: int) -> Iterator[dict]:
+        for i, batch in enumerate(self):
+            if i >= n:
+                return
+            yield batch
+
+    def forever(self) -> Iterator[dict]:
+        while True:
+            yield from self

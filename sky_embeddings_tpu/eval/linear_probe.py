@@ -55,32 +55,51 @@ def pool_features(latents, combine: str = "central"):
 def probe_features(
     model,
     variables: dict,
-    data_path: str,
+    data_path,
     y_label: str,
     combine: str = "central",
     batch_size: int = 64,
     img_size: int = 64,
     to_host: bool = True,
 ):
-    """Embed a probe h5 file and pool features; returns (X, y).
+    """Embed a probe set and pool features; returns (X, y).
+
+    ``data_path``: an h5 file path, or any iterable of dict batches whose
+    items carry ``labels`` for ``y_label`` (e.g. a device-resident
+    ``DeviceDataset(label_keys=[y_label], shuffle=False)`` — then the probe
+    runs with zero host↔device traffic).
 
     With ``to_host=False`` the pooled features stay on device (jnp) and
     standardization is left to the on-device fit.
     """
-    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
-
-    if h5py is None:
-        raise ImportError("h5py required")
-    batcher = build_h5_batcher(
-        data_path, batch_size=batch_size, img_size=img_size,
-        shuffle=False, drop_remainder=False,
-    )
     remove_prefix = combine != "token"
-    latents = extract_latents(
-        model, variables, batcher, remove_prefix=remove_prefix, to_host=to_host
-    )
-    with h5py.File(data_path, "r") as f:
-        y = np.asarray(f[y_label][: latents.shape[0]])
+    if isinstance(data_path, str):
+        from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+
+        if h5py is None:
+            raise ImportError("h5py required")
+        batcher = build_h5_batcher(
+            data_path, batch_size=batch_size, img_size=img_size,
+            shuffle=False, drop_remainder=False,
+        )
+        latents = extract_latents(
+            model, variables, batcher, remove_prefix=remove_prefix, to_host=to_host
+        )
+        with h5py.File(data_path, "r") as f:
+            y = np.asarray(f[y_label][: latents.shape[0]])
+    else:
+        ys = []
+        def _collect(batches):
+            for b in batches:
+                ys.append(np.asarray(b["labels"]).reshape(len(b["cutouts"]), -1)[:, 0])
+                yield b
+        latents = extract_latents(
+            model, variables, _collect(data_path),
+            remove_prefix=remove_prefix, to_host=to_host,
+        )
+        y = np.concatenate(ys)[: latents.shape[0]]
+        if y_label == "class":
+            y = y.astype(np.int64)
 
     attn_pooled = getattr(model, "attn_pool", False) and getattr(model, "simmim", False)
     if attn_pooled:

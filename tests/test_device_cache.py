@@ -1,0 +1,87 @@
+"""Device-resident dataset cache (data/device_cache.py)."""
+
+import h5py
+import numpy as np
+import pytest
+
+from sky_embeddings_tpu.data.device_cache import DeviceDataset
+from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+
+
+@pytest.fixture(scope="module")
+def h5file(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dc") / "train.h5")
+    return write_synthetic_h5(path, n=50, channels=3, img_size=16, seed=1)
+
+
+def test_matches_streaming_batcher(h5file):
+    """Unshuffled device batches must equal the streaming loader's (same
+    clip, crop, schema) — it is a drop-in cache, not a different pipeline."""
+    kw = dict(batch_size=16, img_size=16, shuffle=False, drop_remainder=False,
+              label_keys=["zspec"])
+    stream = list(build_h5_batcher(h5file, **kw))
+    cached = list(DeviceDataset(h5file, **kw))
+    assert len(stream) == len(cached)
+    for bs, bd in zip(stream, cached):
+        np.testing.assert_allclose(np.asarray(bd["cutouts"]), bs["cutouts"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bd["ra_dec"]), bs["ra_dec"], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bd["labels"]), bs["labels"], atol=1e-6)
+
+
+def test_epoch_shuffle_covers_and_reshuffles(h5file):
+    ds = DeviceDataset(h5file, batch_size=10, img_size=16, shuffle=True,
+                       drop_remainder=False, seed=3)
+    with h5py.File(h5file, "r") as f:
+        expect = np.sort(f["ra"][:])
+    ra1 = np.concatenate([np.asarray(b["ra_dec"][:, 0]) for b in ds])
+    ra2 = np.concatenate([np.asarray(b["ra_dec"][:, 0]) for b in ds])
+    np.testing.assert_allclose(np.sort(ra1), expect, atol=1e-6)
+    np.testing.assert_allclose(np.sort(ra2), expect, atol=1e-6)
+    assert not np.allclose(ra1, ra2)  # epochs reshuffle
+
+
+def test_indices_subset_and_class_labels(h5file):
+    idx = [3, 7, 11, 20]
+    ds = DeviceDataset(h5file, batch_size=4, img_size=16, shuffle=False,
+                       indices=idx, label_keys=["class"])
+    batch = next(iter(ds))
+    assert batch["labels"].dtype == np.int32 or str(batch["labels"].dtype) == "int32"
+    with h5py.File(h5file, "r") as f:
+        np.testing.assert_allclose(
+            np.asarray(batch["ra_dec"][:, 0]), f["ra"][idx], atol=1e-6
+        )
+
+
+def test_max_bytes_guard(h5file):
+    with pytest.raises(ValueError, match="H5Batcher"):
+        DeviceDataset(h5file, batch_size=8, img_size=16, max_bytes=1000)
+
+
+def test_probe_features_accepts_device_dataset(h5file):
+    """probe_features(path) and probe_features(DeviceDataset) must agree —
+    the zero-traffic probe path used by the semantic-validation loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.eval.linear_probe import probe_features
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    model = SkyMIM(img_size=16, patch_size=4, in_chans=3, embed_dim=32,
+                   depth=1, num_heads=4, simmim=True)
+    imgs = jnp.zeros((1, 3, 16, 16), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs,
+                                    mask=jnp.zeros_like(imgs))
+    x_path, y_path = probe_features(
+        model, variables, h5file, "class", combine="central", img_size=16,
+        to_host=False,
+    )
+    ds = DeviceDataset(h5file, batch_size=64, img_size=16, shuffle=False,
+                       drop_remainder=False, label_keys=["class"])
+    x_ds, y_ds = probe_features(
+        model, variables, ds, "class", combine="central", img_size=16,
+        to_host=False,
+    )
+    np.testing.assert_allclose(np.asarray(x_ds), np.asarray(x_path),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(y_ds), np.asarray(y_path))
