@@ -6,6 +6,7 @@ import numpy as np
 import optax
 
 from sky_embeddings_tpu.models.cosmos import CosmicEmbeds
+import pytest
 
 TINY = dict(
     img_size=16, patch_size=4, in_chans=3, embed_dim=48, depth=2, num_heads=4,
@@ -20,6 +21,7 @@ def _data(B=4, seed=0):
     return target, ra_dec, waves
 
 
+@pytest.mark.slow
 def test_generate_from_coordinates_only():
     model = CosmicEmbeds(**TINY)
     target, ra_dec, waves = _data()

@@ -155,6 +155,7 @@ def test_random_channel_nan_counts():
     assert len(np.unique(nan_channels)) > 1  # distribution not degenerate
 
 
+@pytest.mark.slow
 def test_augment_batch_composes():
     imgs = _batch(B=4, C=5)
     out = np.asarray(augment_batch(jax.random.PRNGKey(0), imgs, nan_channels=2))
@@ -239,6 +240,7 @@ def test_take_bounds_and_stops(h5file):
     assert len(list(b.take(100))) == len(b)  # exhausts normally
 
 
+@pytest.mark.slow
 def test_chunk_mode_multiprocess_matches_single(h5file):
     kw = dict(batch_size=8, img_size=16, shuffle=True, shuffle_mode="chunk", seed=7)
     single = build_h5_batcher(h5file, **kw)
@@ -259,6 +261,7 @@ def _shm_segments():
         return set()
 
 
+@pytest.mark.slow
 def test_multiprocess_dead_worker_raises_not_hangs(h5file):
     """An OOM-killed reader must surface as an exception, not a silent hang
     (VERDICT r2 weak #5), and must not strand /dev/shm segments."""
@@ -283,6 +286,7 @@ def test_multiprocess_dead_worker_raises_not_hangs(h5file):
     assert _shm_segments() - before == set()
 
 
+@pytest.mark.slow
 def test_multiprocess_early_close_no_stranded_shm(h5file):
     """Breaking out of a multi-process epoch early must terminate workers and
     leave no shared-memory segments behind (VERDICT r2 weak #5)."""
@@ -377,6 +381,7 @@ def test_buffer_mode_covers_every_row_once(sorted_h5):
         np.testing.assert_allclose(np.sort(got), expect)
 
 
+@pytest.mark.slow
 def test_buffer_mode_multiprocess_matches_single(sorted_h5):
     """Worker-parallel buffer mode must reproduce the single-reader stream
     exactly, for any worker count (VERDICT r3 missing #3) — rounds are
@@ -395,6 +400,7 @@ def test_buffer_mode_multiprocess_matches_single(sorted_h5):
             np.testing.assert_array_equal(bs["labels"], bm["labels"])
 
 
+@pytest.mark.slow
 def test_exact_mode_multiprocess_matches_single(h5file):
     """Indices-subset (supervised num_train) streams parallelize too: the
     reference honors num_workers for every dataset (dataloaders.py:134-153);

@@ -58,6 +58,7 @@ def test_max_bytes_guard(h5file):
         DeviceDataset(h5file, batch_size=8, img_size=16, max_bytes=1000)
 
 
+@pytest.mark.slow
 def test_probe_features_accepts_device_dataset(h5file):
     """probe_features(path) and probe_features(DeviceDataset) must agree —
     the zero-traffic probe path used by the semantic-validation loop."""

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
 
 
+@pytest.mark.slow
 def test_two_real_processes_match_single_process(tmp_path):
     # bounded by run_two_process_smoke's own 300 s subprocess timeout
     from tools.distributed_smoke import run_two_process_smoke

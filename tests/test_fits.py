@@ -162,6 +162,7 @@ def test_batcher_overlap_mode(tmp_path, wcs):
     assert len(batches) == n // 4
 
 
+@pytest.mark.slow
 def test_sky_search_fits_bank_and_multi(tmp_path, wcs):
     """sky_sim_search.py survey-scale surface over a real FITS tile stream:
     --bank builds once / reuses on the next call, and the one-pass

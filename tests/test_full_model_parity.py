@@ -71,6 +71,7 @@ def _set_pos_embed(oracle, embed_dim=48, grid=4, decoder_dim=None):
 
 
 @pytest.mark.parametrize("norm_pix_loss,loss_fn", [(True, "l1"), (False, "mse")])
+@pytest.mark.slow
 def test_simmim_full_model_parity(norm_pix_loss, loss_fn):
     oracle = _randomize(OracleMaskedAutoencoderViT(
         simmim=True, norm_pix_loss=norm_pix_loss, loss_fn=loss_fn,

@@ -68,6 +68,7 @@ def test_mask_target_sizes_in_range():
     assert sizes.max() <= np.ceil(0.2 * L) + 4
 
 
+@pytest.mark.slow
 def test_jepa_forward():
     model = build_jepa_model(jepa_config())
     assert model.embed_dim == 192 and model.pred_embed_dim == 96
@@ -84,6 +85,7 @@ def test_jepa_forward():
     assert repr_full.shape == (4, 16, 192)
 
 
+@pytest.mark.slow
 def test_jepa_trainer_step_and_ema():
     trainer = JEPATrainer(jepa_config())
     rng = np.random.default_rng(1)
@@ -116,6 +118,7 @@ def test_jepa_trainer_step_and_ema():
     assert np.abs(a - c).mean() < np.abs(b - jax.tree_util.tree_leaves(p0)[0]).mean()
 
 
+@pytest.mark.slow
 def test_jepa_checkpoint_roundtrip(tmp_path):
     trainer = JEPATrainer(jepa_config())
     rng = np.random.default_rng(2)
@@ -137,6 +140,7 @@ def test_jepa_checkpoint_roundtrip(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_jepa_loss_decreases():
     trainer = JEPATrainer(jepa_config(total_batch_iters=40, ref_lr=3e-3))
     rng = np.random.default_rng(3)

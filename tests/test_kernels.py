@@ -131,6 +131,7 @@ def test_fused_mlp_block_stash_backward_parity():
         )
 
 
+@pytest.mark.slow
 def test_pipelined_mlp_forward_parity():
     """mlp_block.PIPELINE_FWD restructures the forward into row chunks with
     chunk j+1's LN→fc1 interleaved against chunk j's GELU→fc2; LN/GELU are
@@ -238,6 +239,7 @@ def test_fused_attn_block_forward_parity():
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_attn_block_backward_parity():
     from sky_embeddings_tpu.ops.kernels.attn_block import (
         fused_attn_block,
@@ -266,6 +268,7 @@ def test_fused_attn_block_backward_parity():
         )
 
 
+@pytest.mark.slow
 def test_fused_attn_block_stash_backward_parity():
     """stash=True backward (consumes stashed qkv + probs) must match the
     XLA reference gradients. fp32 here -> lossless stash."""
@@ -559,6 +562,7 @@ def test_bank_topk_chunked_all_negative_scores():
     np.testing.assert_allclose(got_v, np.asarray(want_v), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_bank_topk_chunked_10m_rows():
     """Survey scale: 10M rows streamed in 1M-row slabs (the bank never sits
     on the device whole), verified against a direct numpy ranking."""
@@ -582,6 +586,7 @@ def test_bank_topk_chunked_10m_rows():
     np.testing.assert_allclose(got_v, scores[want_i], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_kernel_parity_gate_tool():
     """The bench-embedded parity gate (tools/kernel_parity.py) must pass in
     interpret mode at a small loop-heads geometry — keeps the gate itself
@@ -624,6 +629,7 @@ def test_loop_heads_mode_selected():
     assert not _use_loop_heads(4, 12)    # tiny test geometry: unroll
 
 
+@pytest.mark.slow
 def test_loop_heads_forward_parity():
     """H=16, hd=16 -> group=8, 2 loop iterations; vs the XLA oracle."""
     from sky_embeddings_tpu.ops.kernels.attn_block import (
@@ -645,6 +651,7 @@ def test_loop_heads_forward_parity():
     np.testing.assert_allclose(np.asarray(out_k4), np.asarray(out_x4), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_loop_heads_backward_parity_both_modes():
     from sky_embeddings_tpu.ops.kernels.attn_block import (
         fused_attn_block,
@@ -673,6 +680,7 @@ def test_loop_heads_backward_parity_both_modes():
             )
 
 
+@pytest.mark.slow
 def test_pipelined_fwd_loop_parity():
     """PIPELINE_FWD restructures the loop-heads forward into a carried
     lookahead (group j+1 logits issued alongside group j softmax); the
@@ -715,6 +723,7 @@ def test_pipelined_fwd_loop_parity():
         )
 
 
+@pytest.mark.slow
 def test_pipelined_flagship_head_layout_parity():
     """The ViT-B head layout (H=12, hd=64 -> G=2, six head groups) runs the
     pipelined loops through 5 carried iterations plus the epilogue — deeper
@@ -760,6 +769,7 @@ def test_pipelined_flagship_head_layout_parity():
         ab.PIPELINE_FWD, ab.PIPELINE_BWD = saved
 
 
+@pytest.mark.slow
 def test_pipelined_bwd_loop_parity():
     """PIPELINE_BWD carries each head group's MXU precursors (dp, and the
     logits in recompute mode) one iteration ahead; gradients must match the
@@ -901,3 +911,41 @@ def test_tile_heuristics_long_sequence_shrink():
             t = fn()
             assert t >= 1 and 1024 % t == 0
             assert t * n_pad <= 64 * 72 + 1, (n, t)
+
+
+def test_fused_mlp_block_stream_backward_parity(monkeypatch):
+    """stash="stream" (weight-streaming backward: resident fp32 grad
+    accumulators, weights in column slabs over a second grid dim) must match
+    the XLA grads. Slab width forced small so the test exercises the
+    multi-slab path: per-tile LN reuse, cross-slab dy accumulation, and the
+    sliced dw1/db1/dw2 accumulation."""
+    from sky_embeddings_tpu.ops.kernels import mlp_block as mb
+
+    monkeypatch.setattr(mb, "_stream_slab", lambda D, F, **kw: 64)
+    args = _mlp_inputs(B=8, N=17, D=48, F=192)
+
+    def loss_k(*a):
+        return (mb.fused_mlp_block(*a, 4, True, "stream") ** 2).sum()
+
+    def loss_x(*a):
+        return (mb.xla_mlp_block(*a) ** 2).sum()
+
+    g_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+    g_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    names = ["x", "scale", "bias", "w1", "b1", "w2", "b2"]
+    for name, a, b in zip(names, g_k, g_x):
+        scale = max(float(np.abs(np.asarray(b)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5 * scale, rtol=2e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_stream_slab_widths():
+    from sky_embeddings_tpu.ops.kernels.mlp_block import _stream_slab
+
+    assert _stream_slab(1280, 5120) in (640, 1280)  # ViT-H: multi-slab
+    fk = _stream_slab(1280, 5120)
+    assert 5120 % fk == 0 and fk % 128 == 0
+    assert _stream_slab(48, 192) == 192  # no 128-multiple divides F -> 1 slab
+    assert _stream_slab(64, 256) == 256  # small weights -> single slab

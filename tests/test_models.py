@@ -31,6 +31,7 @@ def _imgs(B=2, C=3, S=16, seed=0, with_nan=True):
     return jnp.asarray(x)
 
 
+@pytest.mark.slow
 def test_simmim_forward():
     model = SkyMIM(simmim=True, norm_pix_loss=True, loss_fn="l1", **TINY)
     imgs = _imgs()
@@ -66,6 +67,7 @@ def test_simmim_attn_pool_forward():
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_mae_forward():
     model = SkyMIM(simmim=False, mask_ratio=0.75, loss_fn="mse", **TINY)
     imgs = _imgs(with_nan=False)

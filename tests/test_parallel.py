@@ -32,6 +32,7 @@ def test_mesh_shapes():
         create_mesh(data=3, model=2)
 
 
+@pytest.mark.slow
 def test_param_specs_tp_rules():
     model = SkyMIM(simmim=True, **TINY)
     imgs = jnp.zeros((2, 3, 16, 16))
@@ -49,6 +50,7 @@ def test_param_specs_tp_rules():
 
 
 @pytest.mark.parametrize("tp", [1, 2])
+@pytest.mark.slow
 def test_sharded_loss_matches_single_device(tp):
     """Forward loss must be identical (to fp tolerance) under dp/tp sharding."""
     model = SkyMIM(simmim=True, norm_pix_loss=True, **TINY)
@@ -69,6 +71,7 @@ def test_sharded_loss_matches_single_device(tp):
     np.testing.assert_allclose(float(loss_sharded), float(loss_single), rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_gradients_match_single_device():
     """Gradients under 4x2 dp/tp must match the unsharded backward pass.
 
@@ -102,12 +105,14 @@ def test_sharded_gradients_match_single_device():
         )
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_pretrainer_on_mesh():
     """MIMPretrainer over the full 8-device mesh trains with batch sharding."""
     from sky_embeddings_tpu.configuration import Config

@@ -2,6 +2,7 @@
 reference-style torch state dict (inverse mapping, written independently
 here), port it back with the tool, and require identical forwards."""
 
+import pytest
 import sys
 
 import jax
@@ -49,6 +50,7 @@ def _to_sd_patch_embed(sd, params, p=4, C=3):
     sd["patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["proj"]["bias"])
 
 
+@pytest.mark.slow
 def test_simmim_port_roundtrip():
     model = SkyMIM(simmim=True, norm_pix_loss=True, **TINY)
     imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 16, 16)).astype(np.float32))

@@ -81,6 +81,7 @@ def test_warm_start_copies_matching():
     np.testing.assert_array_equal(np.asarray(out["extra"]), 0.0)
 
 
+@pytest.mark.slow
 def test_warm_start_from_real_mim_checkpoint(tmp_path):
     pre = MIMPretrainer(mim_config())
     ckpt_file = str(tmp_path / "mim_t.ckpt.msgpack")
@@ -102,6 +103,7 @@ def test_warm_start_from_real_mim_checkpoint(tmp_path):
 
 
 @pytest.mark.parametrize("loss_fn", ["mse", "crossentropy"])
+@pytest.mark.slow
 def test_predictor_training_runs(data_files, loss_fn):
     train, val = data_files
     cfg = predictor_config(loss_fn=loss_fn)
@@ -118,6 +120,7 @@ def test_predictor_training_runs(data_files, loss_fn):
     assert trainer.cur_iter == 10
 
 
+@pytest.mark.slow
 def test_lp_regime_only_updates_head(data_files):
     train, _ = data_files
     cfg = predictor_config(train_method="lp")
@@ -141,6 +144,7 @@ def test_lp_regime_only_updates_head(data_files):
     )
 
 
+@pytest.mark.slow
 def test_predictor_loop_best_ckpt_and_early_stop(data_files, tmp_path):
     train, val = data_files
     cfg = predictor_config(total_batch_iters=8)
@@ -164,6 +168,7 @@ def test_predictor_loop_best_ckpt_and_early_stop(data_files, tmp_path):
     assert t2.cur_iter > 0
 
 
+@pytest.mark.slow
 def test_predictor_infer(data_files):
     _, val = data_files
     cfg = predictor_config()
@@ -178,6 +183,7 @@ def test_predictor_infer(data_files):
     assert np.isfinite(preds).all()
 
 
+@pytest.mark.slow
 def test_lp_regime_skips_backbone_backward(data_files):
     """Round-2 fix: frozen subtrees are stop_gradient'ed, so the lp train
     step's compiled FLOPs are close to eval (forward-only) cost instead of

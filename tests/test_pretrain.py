@@ -115,6 +115,7 @@ def test_lp_optimizer_freezes_backbone():
     assert float(jnp.abs(updates["norm"]["scale"]).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_pretrain_loop_end_to_end(data_files, tmp_path):
     train, val, d = data_files
     config = tiny_config()
@@ -145,6 +146,7 @@ def test_pretrain_loop_end_to_end(data_files, tmp_path):
     assert pre2.losses["train_loss"] == pre.losses["train_loss"]
 
 
+@pytest.mark.slow
 def test_pretrain_loss_decreases(data_files):
     train, val, d = data_files
     config = tiny_config(total_batch_iters=30, init_lr=3e-3)
@@ -161,6 +163,7 @@ def test_pretrain_loss_decreases(data_files):
     assert last < first
 
 
+@pytest.mark.slow
 def test_mae_pretrainer_runs(data_files):
     train, val, d = data_files
     config = tiny_config(model_type="maesimple")
@@ -199,6 +202,7 @@ def test_ft_compat_lr_quirk():
     assert up_fixed < 1e-5
 
 
+@pytest.mark.slow
 def test_val_masks_vary_across_batches_and_passes(data_files):
     """Round-2 fix: eval folds the val-batch index and the training step into
     the mask key, so val loss averages over mask draws (the round-1 eval step

@@ -5,6 +5,7 @@ exhausts TPU compiler memory (ViT-L on the shipped harness); it must be
 numerically identical to the loop form given the same (restacked) params.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,6 +23,7 @@ def _x(B=2, N=9, D=32, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_scan_encoder_matches_loop():
     x = _x()
     loop = Encoder(depth=3, num_heads=4)
@@ -55,6 +57,7 @@ def test_scan_encoder_param_shapes():
     assert qkv.shape == (3, 32, 96)  # (depth, D, 3D)
 
 
+@pytest.mark.slow
 def test_scan_encoder_grads_match_loop():
     x = _x()
     loop = Encoder(depth=2, num_heads=4)
@@ -91,6 +94,7 @@ def test_scan_sharding_specs_have_depth_axis():
     assert block["norm1"]["scale"] == P()
 
 
+@pytest.mark.slow
 def test_checkpoint_layout_adaptation(tmp_path):
     """A checkpoint written by a loop-encoder model restores into a
     scan-encoder model (and back), including the optimizer state."""

@@ -1,6 +1,7 @@
 """Similarity ops tests: formula parity vs a torch oracle of the reference
 math, top-k streaming invariants, end-to-end search."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -127,6 +128,7 @@ def test_bank_topk():
     np.testing.assert_allclose(np.asarray(vals), np.sort(scores)[::-1][:10], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_end_to_end_simsearch():
     """Plant a near-duplicate of the target in the stream; it must win."""
     from sky_embeddings_tpu.eval.simsearch import mim_simsearch
@@ -169,6 +171,7 @@ def test_end_to_end_simsearch():
     assert np.isfinite(best_latent).all()
 
 
+@pytest.mark.slow
 def test_multi_target_simsearch_matches_single():
     """One-pass multi-target search must reproduce per-target single searches
     (same model, same stream) — the survey encode is shared, results aren't."""

