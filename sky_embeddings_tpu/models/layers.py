@@ -177,6 +177,7 @@ class MlpBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from sky_embeddings_tpu.ops.kernels.mlp_block import (
+            STREAM_WIDE_DEFAULT,
             fused_mlp_block,
             xla_mlp_block,
         )
@@ -211,17 +212,22 @@ class MlpBlock(nn.Module):
         # r3 on v5e) — the isolated-chain win does not survive the layout
         # transitions next to the fused attention kernels, so the fused
         # path keeps these geometries.
+        # Past the width cap, the weight-streaming backward (stash="stream",
+        # F-column slabs, ops/kernels/mlp_block.py) removes the fixed VMEM
+        # term — enabled via SKY_MLP_STREAM until measured on-chip.
+        wide = D * self.hidden_dim > 1024 * 4096
         if (
             jax.default_backend() == "tpu"
             and self.dtype == jnp.bfloat16
             and B % 16 == 0
             and D % 128 == 0
             and self.hidden_dim % 128 == 0
-            and D * self.hidden_dim <= 1024 * 4096
+            and (not wide or STREAM_WIDE_DEFAULT)
         ):
             # block_b=0 -> geometry-scaled auto tile (auto_block_b)
+            stash = "stream" if wide else self.stash
             return fused_mlp_block(
-                xc, scale, bias, w1c, b1, w2c, b2, 0, False, self.stash,
+                xc, scale, bias, w1c, b1, w2c, b2, 0, False, stash,
             )
         return xla_mlp_block(xc, scale, bias, w1c, b1, w2c, b2)
 

@@ -131,6 +131,54 @@ def test_fused_mlp_block_stash_backward_parity():
         )
 
 
+def test_fused_mlp_block_rows_parity():
+    """rows=True (row-flat 2D tiling — no per-sample sublane padding) must
+    match the XLA oracle through forward and both backwards. N=17 here is
+    the MAE-encoder shape the layout exists for (41% padded rows in 3D)."""
+    from sky_embeddings_tpu.ops.kernels import mlp_block as mb
+
+    args = _mlp_inputs()  # B=8, N=17 -> M=136 rows
+    out_k = mb.fused_mlp_block(*args, 0, True, False, True)
+    out_x = mb.xla_mlp_block(*args)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=2e-5)
+
+    # explicit row-tile override: 8 rows (17 tiles of M=136)
+    out_k8 = mb.fused_mlp_block(*args, 8, True, False, True)
+    np.testing.assert_allclose(np.asarray(out_k8), np.asarray(out_x), atol=2e-5)
+
+    def loss_x(*a):
+        return (mb.xla_mlp_block(*a) ** 2).sum()
+
+    g_x = jax.grad(loss_x, argnums=tuple(range(7)))(*args)
+    for stash in (False, True):
+        def loss_k(*a, stash=stash):
+            return (mb.fused_mlp_block(*a, 0, True, stash, True) ** 2).sum()
+
+        g_k = jax.grad(loss_k, argnums=tuple(range(7)))(*args)
+        for name, a, b in zip(["x", "scale", "bias", "w1", "b1", "w2", "b2"], g_k, g_x):
+            s = max(float(np.abs(np.asarray(b)).max()), 1e-3)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5 * s, rtol=2e-4,
+                err_msg=f"rows grad mismatch for {name} (stash={stash})",
+            )
+
+
+def test_row_tile_divisors():
+    from sky_embeddings_tpu.ops.kernels.mlp_block import _row_tile, auto_rows_fwd
+
+    assert _row_tile(66560, 512, 16) == 512      # flagship M: exact
+    assert _row_tile(17408, 1024, 16) == 1024    # MAE-enc M: exact
+    assert _row_tile(18688, 768, 16) == 256      # ViT-L M = 2^8 * 73
+    assert _row_tile(136, 4, 8) == 4             # tiny test geometry
+    # every result divides M
+    for M in (136, 17408, 18688, 66560):
+        for t in (64, 500, 1024):
+            d = _row_tile(M, t, 16)
+            assert M % d == 0 and d <= max(t, 1)
+    # auto fwd rows stay near the measured 3D optima (tb*N)
+    assert auto_rows_fwd(1024, 65, 768, 3072, 16) in (512, 520)
+
+
 @pytest.mark.slow
 def test_pipelined_mlp_forward_parity():
     """mlp_block.PIPELINE_FWD restructures the forward into row chunks with
