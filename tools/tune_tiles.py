@@ -68,6 +68,13 @@ def main():
                          "(mlp_block.PIPELINE_FWD) for this sweep")
     ap.add_argument("--mlp-fwd", default="",
                     help="comma tiles for the fwd-only MLP chain; empty=skip")
+    ap.add_argument("--rows", action="store_true",
+                    help="row-flat 2D MLP tiling: --mlp/--mlp-fwd tiles are "
+                         "ROW counts (0 = auto_rows); sweeps rows=True "
+                         "against the default 3D layout")
+    ap.add_argument("--mlp-stream", action="store_true",
+                    help="use the weight-streaming backward (stash='stream') "
+                         "in the --mlp chains; tiles are row counts")
     ap.add_argument("--vmem-kib", type=int, default=0,
                     help="raise the scoped-VMEM limit for these compiles "
                          "(0 = XLA default 16384; v5e has 128 MB physical)")
@@ -155,13 +162,16 @@ def main():
             return jax.vjp(f, x)[0]  # differentiation-path fwd (writes stash)
         report("attn stash-fwd", tb, attn_stash_fwd_chain)
 
+    rows = args.rows
+    mlp_stash = "stream" if args.mlp_stream else args.mlp_stash
     for tb in [int(t) for t in args.mlp_fwd.split(",") if t]:
         @jit
         def mlp_fwd_chain(x, tb=tb):
             for _ in range(depth):
-                x = fused_mlp_block(x, scale, bias, w1, b1, w2, b2, tb, False)
+                x = fused_mlp_block(x, scale, bias, w1, b1, w2, b2, tb, False,
+                                    False, rows)
             return x
-        report("mlp fwd", tb, mlp_fwd_chain)
+        report(f"mlp fwd rows={rows}", tb, mlp_fwd_chain)
 
     for tb in [int(t) for t in args.mlp.split(",") if t]:
         @jit
@@ -170,12 +180,12 @@ def main():
                 for _ in range(depth):
                     x = fused_mlp_block(
                         x, scale, bias, w1, b1, w2, b2, tb, False,
-                        args.mlp_stash,
+                        mlp_stash, rows,
                     )
                 return x
             out, vjp = jax.vjp(f, x)
             return vjp(g)[0]
-        report(f"mlp fwd+bwd stash={args.mlp_stash}", tb, mlp_vjp_chain)
+        report(f"mlp fwd+bwd stash={mlp_stash} rows={rows}", tb, mlp_vjp_chain)
 
 
 if __name__ == "__main__":
