@@ -87,6 +87,12 @@ class SkyMIM(nn.Module):
     # 6.74 ms/layer fwd+bwd, measured r3) — build_mim_model enables it for
     # 'large'-size models.
     stash_mlp: bool = False
+    # Attn stash for the MAE decoder separately: its full-sequence probs+qkv
+    # stash is ~1 GB/layer at B=2048 (the allocation that OOM'd the MAE
+    # B=2048 attempt, BASELINE.md r4) while the token-dropped encoder's is
+    # ~4x smaller — dropping only the decoder stash trades its recompute
+    # for the batch-doubling headroom.
+    stash_decoder: bool = True
 
     # ------------------------------------------------------------------
     @property
@@ -155,6 +161,7 @@ class SkyMIM(nn.Module):
             self.decoder = Encoder(
                 self.decoder_depth, self.decoder_num_heads, self.mlp_ratio,
                 dtype=self.dtype, scan=self.scan_blocks,
+                stash=self.stash_decoder,
             )
             self.decoder_norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
             self.decoder_pred = nn.Dense(
@@ -379,5 +386,9 @@ def build_mim_model(config, dtype: Dtype = jnp.float32, remat: bool = False) -> 
         # measured slower even where it fits (309.6 vs 337.5 img/s at
         # B=128) — the write traffic no longer hides under the fwd.
         stash=arch.bool("stash", size_key != "huge"),
+        # MAE decoder stash separately: dropping it (recompute backward)
+        # frees the full-sequence probs+qkv stash that dominates MAE HBM at
+        # large batches (~8 GB at B=2048, BASELINE.md r4) at ~zero cost.
+        stash_decoder=arch.bool("stash_decoder", True),
         **extra,
     )

@@ -183,3 +183,29 @@ def test_build_predictor_from_config():
     assert model.num_labels == 1 and model.global_pool == "map"
     assert model.label_means == (0.64,)
     assert cfg.pretrained_mae_name() == "test_mim"
+
+
+def test_mae_decoder_stash_knob_parity():
+    """``stash_decoder=False`` (recompute backward in the MAE decoder — the
+    memory lever that makes B=2048 fit, BASELINE.md r4) must not change the
+    loss or gradients; the stash only changes the backward's data source."""
+    kw = dict(TINY, simmim=False, mask_ratio=0.5, dtype=jnp.float32)
+    imgs = _imgs(with_nan=False)
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.uniform(key, (2, (16 // 4) ** 2))
+
+    def loss_and_grads(stash_decoder):
+        m = SkyMIM(**kw, stash_decoder=stash_decoder)
+        params = jax.jit(m.init)(key, imgs, mae_noise=noise)["params"]
+
+        def f(p):
+            loss, _, _ = m.apply({"params": p}, imgs, mae_noise=noise)
+            return loss
+
+        return jax.value_and_grad(f)(params)
+
+    l1, g1 = loss_and_grads(True)
+    l2, g2 = loss_and_grads(False)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

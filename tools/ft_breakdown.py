@@ -61,6 +61,9 @@ def full_step_ms(B, n):
     labels = jax.random.uniform(key, (B, 1), jnp.float32)
     ra_dec = jnp.zeros((B, 2), jnp.float32)
     params = jax.jit(model.init)(key, imgs[:2])["params"]
+    # state donation below deletes these buffers — keep a live copy for the
+    # optimizer-only timers
+    params_keep = jax.tree_util.tree_map(jnp.copy, params)
     tx = optim.finetune_optimizer(
         params, lambda lr: linear_lr(lr, 10_000, 1e4), model.depth,
         layer_decay=0.75, init_lr=1e-4, weight_decay=0.05,
@@ -89,7 +92,7 @@ def full_step_ms(B, n):
         state, loss, _ = step(state, imgs, ra_dec, labels)
     float(loss)
     ms = (time.perf_counter() - t0) / n * 1e3
-    return ms, model, params
+    return ms, model, params_keep
 
 
 def encoder_chain_ms(B, n):
@@ -183,6 +186,24 @@ def plain_adamw_update_ms(model, params, n):
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def head_loss_ms(model, params, B, n):
+    """Map-pool head + MSE loss fwd+bwd on a frozen encoder output."""
+    N = model.grid_size ** 2 + model.num_extra_tokens
+    key = jax.random.PRNGKey(1)
+    tokens = jax.random.normal(key, (B, N, model.embed_dim), jnp.bfloat16)
+    labels = jax.random.uniform(key, (B, model.num_labels), jnp.float32)
+
+    @jax.jit
+    def fwd_bwd(tokens):
+        def f(t):
+            preds = model.apply({"params": params}, t, method=model.forward_head)
+            return jnp.mean((preds.astype(jnp.float32) - labels) ** 2)
+        return jax.value_and_grad(f)(tokens)
+
+    return timed(fwd_bwd, tokens, n=n,
+                 sync=lambda o: float(o[0])) * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=20)
@@ -194,11 +215,15 @@ def main():
               f"({B / ms * 1e3:7.1f} img/s)", flush=True)
         enc = encoder_chain_ms(B, args.n)
         print(f"encoder fwd+bwd     B={B:5d}: {enc:8.2f} ms", flush=True)
+        head = head_loss_ms(model, params, B, args.n)
+        print(f"map-pool head+loss  B={B:5d}: {head:8.2f} ms", flush=True)
         if B == 256:
             opt = optimizer_update_ms(model, params, args.n)
             plain = plain_adamw_update_ms(model, params, args.n)
             print(f"layer-decay update  (fixed): {opt:8.2f} ms", flush=True)
             print(f"plain adamw update  (fixed): {plain:8.2f} ms", flush=True)
+            print(f"remainder (patchify/embed/misc) B={B}: "
+                  f"{ms - enc - head - opt:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
