@@ -214,7 +214,11 @@ class MlpBlock(nn.Module):
         # path keeps these geometries.
         # Past the width cap, the weight-streaming backward (stash="stream",
         # F-column slabs, ops/kernels/mlp_block.py) removes the fixed VMEM
-        # term — enabled via SKY_MLP_STREAM until measured on-chip.
+        # term — measured SLOWER at ViT-H (model 400.9 vs 407.2 img/s;
+        # kernel 5.14 ms/layer ≈ 129 TFLOPS vs XLA's ~170 at D=1280 —
+        # the K-slab loop serializes weight loads against the matmuls;
+        # larger tiles SIGKILL the compile helper, BASELINE.md r4), so
+        # wide stays on XLA unless SKY_MLP_STREAM=1 overrides.
         wide = D * self.hidden_dim > 1024 * 4096
         if (
             jax.default_backend() == "tpu"
