@@ -139,6 +139,8 @@ def optimizer_update_ms(model, params, n):
     from sky_embeddings_tpu.train import optim
     from sky_embeddings_tpu.train.schedules import linear_lr
 
+    # the donated update below consumes the caller's buffers — work on a copy
+    params = jax.tree_util.tree_map(jnp.copy, params)
     tx = optim.finetune_optimizer(
         params, lambda lr: linear_lr(lr, 10_000, 1e4), model.depth,
         layer_decay=0.75, init_lr=1e-4, weight_decay=0.05,
@@ -168,6 +170,7 @@ def plain_adamw_update_ms(model, params, n):
     from sky_embeddings_tpu.train.optim import pretrain_optimizer
     from sky_embeddings_tpu.train.schedules import cosine_annealing
 
+    params = jax.tree_util.tree_map(jnp.copy, params)
     tx = pretrain_optimizer(params, cosine_annealing(1e-4, 10_000, 1e4), 0.05)
     opt_state = jax.jit(tx.init)(params)
     grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-4, params)
