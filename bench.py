@@ -494,6 +494,10 @@ def main():
     vit_l = _attempt("vit_l", bench_vit_l)
     vit_h = _attempt("vit_h", bench_vit_h)
     pred_ft = _attempt("predictor_ft", bench_predictor_ft)
+    # iso-batch with the flagship: the B=256 row's 5-point MFU gap is the
+    # fixed AdamW state traffic amortized over 4x fewer images (ft
+    # breakdown, BASELINE.md r4); at B=1024 the ft step matches flagship MFU
+    pred_ft_1024 = _attempt("predictor_ft_b1024", bench_predictor_ft, 1024)
 
     def _parity():
         from tools.kernel_parity import MAE_GEOMS, run_kernel_parity
@@ -533,7 +537,7 @@ def main():
 
     for name, res in (
         ("mae", mae), ("vit_l", vit_l), ("vit_h", vit_h),
-        ("predictor_ft", pred_ft),
+        ("predictor_ft", pred_ft), ("predictor_ft_b1024", pred_ft_1024),
     ):
         if res is not None:
             rate, gflop = res
