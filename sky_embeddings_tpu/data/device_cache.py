@@ -72,11 +72,22 @@ class DeviceDataset:
                     f"(> max_bytes={max_bytes / 2**30:.1f} GiB) — use the "
                     "streaming H5Batcher for survey-scale files"
                 )
-            sel = np.sort(np.asarray(indices)) if indices is not None else slice(None)
-            cutouts = f["cutouts"][sel]
-            ra = f["ra"][sel]
-            dec = f["dec"][sel]
-            cols = [f[k][sel] for k in self.label_keys] if self.label_keys else None
+            if indices is not None:
+                # h5py fancy indexing wants sorted unique rows; un-sort after
+                # the gather so caller order is preserved (the contract
+                # H5Batcher._read_rows keeps) and duplicates are served.
+                req = np.asarray(indices)
+                uniq, inv = np.unique(req, return_inverse=True)
+                sel, unsort = uniq, inv
+            else:
+                sel, unsort = slice(None), slice(None)
+            cutouts = f["cutouts"][sel][unsort]
+            ra = f["ra"][sel][unsort]
+            dec = f["dec"][sel][unsort]
+            cols = (
+                [f[k][sel][unsort] for k in self.label_keys]
+                if self.label_keys else None
+            )
 
         cutouts = np.asarray(cutouts, np.float32)
         if pixel_min is not None:

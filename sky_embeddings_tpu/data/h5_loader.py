@@ -401,10 +401,22 @@ class H5Batcher:
             np.random.SeedSequence([self._seed, self._epoch, r])
         )
 
-    def _buffer_round_batches(self, f, pieces: list[tuple[int, int]], r: int):
+    def _buffer_round_batches(self, f, pieces: list[tuple[int, int]], r: int,
+                              pool_cache: Optional[dict] = None):
+        """``pool_cache``: reusable buffer dict threaded across rounds — the
+        pool is ~cap-sized (hundreds of MB at bench geometry), so allocating
+        it once per epoch instead of once per round keeps the allocator off
+        the reader's critical path. Yielded batches are fancy-indexed copies,
+        so reuse is safe."""
         keys = self._keys()
         rows = sum(e - s for s, e in pieces)
-        pool = {k: np.empty((rows,) + f[k].shape[1:], f[k].dtype) for k in keys}
+        if pool_cache is None:
+            pool_cache = {}
+        if not pool_cache or pool_cache["cutouts"].shape[0] < rows:
+            pool_cache.update(
+                {k: np.empty((rows,) + f[k].shape[1:], f[k].dtype) for k in keys}
+            )
+        pool = {k: pool_cache[k][:rows] for k in keys}
         fill = 0
         for s, e in pieces:
             for k in keys:
@@ -426,8 +438,9 @@ class H5Batcher:
             )
 
     def _buffered_batches(self, f, rng: np.random.Generator):
+        pool_cache: dict = {}
         for r, pieces in enumerate(self._buffer_rounds(rng)):
-            yield from self._buffer_round_batches(f, pieces, r)
+            yield from self._buffer_round_batches(f, pieces, r, pool_cache)
 
     def _batch_rows(self) -> list[np.ndarray]:
         idx = self.indices
@@ -731,10 +744,13 @@ def _mp_reader(batcher: "H5Batcher", schedule: tuple, worker: int, n_workers: in
                     out_q.put(_batch_to_shm(batch, name_prefix, seq))
                     seq += 1
             elif mode == "buffer":
+                pool_cache: dict = {}
                 for r, pieces in enumerate(payload):
                     if r % n_workers != worker:
                         continue
-                    for batch in batcher._buffer_round_batches(f, pieces, r):
+                    for batch in batcher._buffer_round_batches(
+                        f, pieces, r, pool_cache
+                    ):
                         out_q.put(_batch_to_shm(batch, name_prefix, seq))
                         seq += 1
                     out_q.put(_ROUND_END)

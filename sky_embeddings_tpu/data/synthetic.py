@@ -216,8 +216,11 @@ def make_structured_cutouts(
     order, ``test_predictor.py:109-116``). Stars carry ``zspec = 0``.
     """
     rng = np.random.default_rng(seed)
-    counts = np.floor(np.asarray(class_fracs, np.float64) * n).astype(int)
-    counts[0] += n - counts.sum()
+    fracs = np.asarray(class_fracs, np.float64)
+    counts = np.floor(fracs * n).astype(int)
+    # flooring remainder goes to the largest-fraction class so a class
+    # requested at 0.0 stays absent from the file
+    counts[int(np.argmax(fracs))] += n - counts.sum()
     lam = _band_centers(channels)
 
     cutouts = np.empty((n, channels, img_size, img_size), np.float32)

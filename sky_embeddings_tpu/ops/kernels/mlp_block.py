@@ -927,9 +927,13 @@ def _fmb_bwd(block_b, interpret, stash, rows, res, g):
     x, scale, bias, w1, b1, w2, b2, a = res
     rows = ROWS_DEFAULT if rows is None else rows
     if stash == "stream":
+        # the streaming backward tiles flattened rows; in 3D (batch-tile)
+        # mode translate the caller's sample tile to rows so one block_b
+        # value means the same thing across the fwd and this bwd
+        bb = block_b * x.shape[1] if (block_b and not rows) else block_b
         dx, dscale, dbias, dw1, db1, dw2, db2 = _pallas_bwd_stream(
             x, scale.reshape(1, -1), bias.reshape(1, -1), w1,
-            b1.reshape(1, -1), w2, g, block_b, interpret,
+            b1.reshape(1, -1), w2, g, bb, interpret,
         )
     elif stash:
         dx, dscale, dbias, dw1, db1, dw2, db2 = _pallas_bwd_stash(

@@ -81,8 +81,9 @@ def _parse_target_groups(raw):
 
 
 def _extract_group_latents(model, variables, path, groups, img_size, args):
-    """Per-group target latents (+ images of the first group for the plot)."""
-    latents, first_images = [], None
+    """Per-group target latents and target images (each group keeps its
+    own images so every saved npz pairs targets with its own retrievals)."""
+    latents, group_images = [], []
     for g, idx in enumerate(groups):
         batcher = build_h5_batcher(
             path, batch_size=args.batch_size, img_size=img_size,
@@ -95,9 +96,8 @@ def _extract_group_latents(model, variables, path, groups, img_size, args):
             return_images=True,
         )
         latents.append(latent)
-        if first_images is None:
-            first_images = images
-    return latents, first_images
+        group_images.append(images)
+    return latents, group_images
 
 
 def bank_sky_search(model, variables, target_latents, test_batcher,
@@ -157,7 +157,7 @@ def main():
         fits_paths = config.data.list("train_data_paths")
 
     groups, multi = _parse_target_groups(args.target_indices)
-    target_latents, target_images = _extract_group_latents(
+    target_latents, target_group_images = _extract_group_latents(
         model, variables, os.path.join(data_dir, args.target_fn),
         groups, img_size, args,
     )
@@ -190,7 +190,7 @@ def main():
                 out,
                 test_ra_decs=ra_decs,
                 test_scores=scores,
-                target_images=target_images,
+                target_images=target_group_images[g],
                 target_features=target_latents[g],
                 test_features=feats,
             )
@@ -223,7 +223,7 @@ def main():
             out,
             test_ra_decs=test_ra_decs,
             test_scores=test_scores,
-            target_images=target_images,
+            target_images=target_group_images[g],
             target_features=target_latents[g],
             test_images=test_images,
             test_features=test_latent,

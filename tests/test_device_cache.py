@@ -86,3 +86,18 @@ def test_probe_features_accepts_device_dataset(h5file):
     np.testing.assert_allclose(np.asarray(x_ds), np.asarray(x_path),
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(y_ds), np.asarray(y_path))
+
+
+def test_indices_preserve_caller_order_and_duplicates(h5file):
+    """Unsorted / duplicated index lists must come back in caller order —
+    the same contract H5Batcher._read_rows keeps (h5py's fancy indexing
+    wants sorted unique rows; the un-sort must be applied after)."""
+    idx = [20, 3, 7, 3]
+    ds = DeviceDataset(h5file, batch_size=4, img_size=16, shuffle=False,
+                       indices=idx, label_keys=["zspec"])
+    batch = next(iter(ds))
+    with h5py.File(h5file, "r") as f:
+        ra = f["ra"][:]
+        z = f["zspec"][:]
+    np.testing.assert_allclose(np.asarray(batch["ra_dec"][:, 0]), ra[idx], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(batch["labels"][:, 0]), z[idx], atol=1e-6)

@@ -243,3 +243,46 @@ def test_sky_search_fits_bank_and_multi(tmp_path, wcs):
     for imgs, latent, ra, scores in multi_results:
         assert imgs.shape == (6, 3, 64, 64) and ra.shape == (6, 2)
         assert scores.shape == (6,) and np.isfinite(scores).all()
+
+
+def test_extract_group_latents_keeps_per_group_images(tmp_path):
+    """Each target group's npz must pair its OWN target images with its
+    latents (a shared group-0 image grid mislabels every other group's
+    results)."""
+    import sys
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from sky_sim_search import _extract_group_latents
+
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+    from sky_embeddings_tpu.models.mim import SkyMIM
+
+    path = write_synthetic_h5(str(tmp_path / "tgt.h5"), 12, channels=3,
+                              img_size=16, nan_band_frac=0.0)
+    model = SkyMIM(
+        img_size=16, patch_size=4, in_chans=3, embed_dim=32, depth=1,
+        num_heads=4, decoder_embed_dim=16, decoder_depth=1,
+        decoder_num_heads=2, simmim=True,
+    )
+    imgs0 = jnp.zeros((1, 3, 16, 16), jnp.float32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), imgs0, mask=jnp.zeros_like(imgs0)
+    )
+    args = SimpleNamespace(batch_size=4, augment_targets="False")
+    groups = [[0, 1], [5, 6, 7]]
+    latents, group_images = _extract_group_latents(
+        model, variables, path, groups, 16, args,
+    )
+    assert len(latents) == 2 and len(group_images) == 2
+    assert group_images[0].shape[0] == 2 and group_images[1].shape[0] == 3
+    import h5py
+    with h5py.File(path, "r") as f:
+        raw = f["cutouts"][:]
+    np.testing.assert_allclose(
+        np.asarray(group_images[1]), np.clip(raw[[5, 6, 7]], -3.0, None),
+        atol=1e-6,
+    )

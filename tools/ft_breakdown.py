@@ -131,20 +131,13 @@ def encoder_chain_ms(B, n):
     return timed(chain, x, n=n, sync=lambda o: float(jnp.asarray(o).ravel()[0])) * 1e3
 
 
-def optimizer_update_ms(model, params, n):
-    """tx.update + apply_updates alone on fixed grads (the layer-decay
-    multi_transform bookkeeping + 3x112M fp32 state traffic)."""
+def _update_ms(tx_factory, params, n):
+    """tx.update + apply_updates alone on fixed grads, donated like the
+    real step. Works on a copy (donation would delete the caller's tree)."""
     import optax
 
-    from sky_embeddings_tpu.train import optim
-    from sky_embeddings_tpu.train.schedules import linear_lr
-
-    # the donated update below consumes the caller's buffers — work on a copy
     params = jax.tree_util.tree_map(jnp.copy, params)
-    tx = optim.finetune_optimizer(
-        params, lambda lr: linear_lr(lr, 10_000, 1e4), model.depth,
-        layer_decay=0.75, init_lr=1e-4, weight_decay=0.05,
-    )
+    tx = tx_factory(params)
     opt_state = jax.jit(tx.init)(params)
     grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-4, params)
 
@@ -160,33 +153,32 @@ def optimizer_update_ms(model, params, n):
         params, opt_state = upd(params, opt_state, grads)
     float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
     return (time.perf_counter() - t0) / n * 1e3
+
+
+def optimizer_update_ms(model, params, n):
+    """Layer-decay multi_transform AdamW (the ft regime's update)."""
+    from sky_embeddings_tpu.train import optim
+    from sky_embeddings_tpu.train.schedules import linear_lr
+
+    return _update_ms(
+        lambda p: optim.finetune_optimizer(
+            p, lambda lr: linear_lr(lr, 10_000, 1e4), model.depth,
+            layer_decay=0.75, init_lr=1e-4, weight_decay=0.05,
+        ),
+        params, n,
+    )
 
 
 def plain_adamw_update_ms(model, params, n):
     """Same update through the flagship's single-group AdamW, for the
     multi_transform overhead delta."""
-    import optax
-
     from sky_embeddings_tpu.train.optim import pretrain_optimizer
     from sky_embeddings_tpu.train.schedules import cosine_annealing
 
-    params = jax.tree_util.tree_map(jnp.copy, params)
-    tx = pretrain_optimizer(params, cosine_annealing(1e-4, 10_000, 1e4), 0.05)
-    opt_state = jax.jit(tx.init)(params)
-    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-4, params)
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def upd(params, opt_state, grads):
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
-
-    params, opt_state = upd(params, opt_state, grads)
-    float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        params, opt_state = upd(params, opt_state, grads)
-    float(jax.tree_util.tree_leaves(params)[0].ravel()[0])
-    return (time.perf_counter() - t0) / n * 1e3
+    return _update_ms(
+        lambda p: pretrain_optimizer(p, cosine_annealing(1e-4, 10_000, 1e4), 0.05),
+        params, n,
+    )
 
 
 def head_loss_ms(model, params, B, n):

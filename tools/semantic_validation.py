@@ -55,6 +55,16 @@ def ensure_datasets(data_dir: str, quick: bool) -> dict:
     paths = {}
     for fname, (n, fracs, seed) in spec.items():
         path = os.path.join(data_dir, fname)
+        if os.path.exists(path):
+            # guard against scale mixups: a file left by a --quick run must
+            # not silently serve a full-scale validation (or vice versa)
+            import h5py
+
+            with h5py.File(path, "r") as f:
+                n_disk = f["cutouts"].shape[0]
+            if n_disk != n:
+                print(f"Regenerating {fname}: on-disk n={n_disk} != requested {n}")
+                os.remove(path)
         if not os.path.exists(path):
             print(f"Generating {fname} (n={n})...")
             write_structured_h5(path, n, channels=5, img_size=64,
@@ -73,7 +83,10 @@ def run_pretrain(data_dir: str, verbose_iters: int, quick: bool) -> dict:
     if quick:
         config.training._values["total_batch_iters"] = "1000"
     pretrainer = MIMPretrainer(config)
-    model_filename = checkpoint_path(os.path.join(REPO, "models"), "mim_struct")
+    # quick runs keep their own checkpoint so a full run never resumes from
+    # a reduced-scale state
+    ckpt_name = "mim_struct_quick" if quick else "mim_struct"
+    model_filename = checkpoint_path(os.path.join(REPO, "models"), ckpt_name)
     os.makedirs(os.path.dirname(model_filename), exist_ok=True)
     if pretrainer.restore(model_filename):
         print(f"Resumed mim_struct at iteration {pretrainer.cur_iter}.")
@@ -136,14 +149,15 @@ def run_finetune(name: str, data_dir: str, verbose_iters: int, quick: bool):
         config.training._values["total_batch_iters"] = "300"
     mae_config = load_config("mim_struct", config_dir)
     trainer = PredictorTrainer(config, mae_config)
-    model_filename = checkpoint_path(model_dir, name)
-    best_filename = checkpoint_path(model_dir, name, best=True)
+    suffix = "_quick" if quick else ""
+    model_filename = checkpoint_path(model_dir, name + suffix)
+    best_filename = checkpoint_path(model_dir, name + suffix, best=True)
 
     warm = config.training.str("train_method") == "ft"
     if os.path.exists(best_filename) and trainer.restore(best_filename):
         print(f"Resumed {name} from best checkpoint at {trainer.cur_iter}.")
     elif warm:
-        if not trainer.warm_start(checkpoint_path(model_dir, "mim_struct")):
+        if not trainer.warm_start(checkpoint_path(model_dir, "mim_struct" + suffix)):
             raise SystemExit("mim_struct checkpoint missing — run pretrain first")
         print(f"Warm-started {name} from mim_struct.")
 
@@ -181,7 +195,7 @@ def run_finetune(name: str, data_dir: str, verbose_iters: int, quick: bool):
     }
 
 
-def run_simsearch(data_dir: str) -> dict:
+def run_simsearch(data_dir: str, quick: bool = False) -> dict:
     """Same-class retrieval precision over the embedded val survey."""
     import h5py
     import jax
@@ -195,7 +209,8 @@ def run_simsearch(data_dir: str) -> dict:
 
     config = load_config("mim_struct", os.path.join(REPO, "configs"))
     pretrainer = MIMPretrainer(config)
-    if not pretrainer.restore(checkpoint_path(os.path.join(REPO, "models"), "mim_struct")):
+    ckpt_name = "mim_struct_quick" if quick else "mim_struct"
+    if not pretrainer.restore(checkpoint_path(os.path.join(REPO, "models"), ckpt_name)):
         raise SystemExit("mim_struct checkpoint missing — run pretrain first")
     model, variables = pretrainer.model, pretrainer.variables()
 
@@ -243,11 +258,19 @@ def main():
     ap.add_argument("--stage", default="all",
                     choices=["all", "pretrain", "finetune", "simsearch"])
     ap.add_argument("-v", "--verbose_iters", type=int, default=500)
-    ap.add_argument("-dd", "--data_dir", type=str,
-                    default=os.path.join(REPO, "data", "structured"))
+    ap.add_argument("-dd", "--data_dir", type=str, default=None)
     args = ap.parse_args()
+    if args.data_dir is None:
+        # separate default dirs so a quick run's scale-mismatch regeneration
+        # can never delete the full-scale survey (and vice versa)
+        sub = "structured_quick" if args.quick else "structured"
+        args.data_dir = os.path.join(REPO, "data", sub)
 
-    results_path = os.path.join(REPO, "results", "semantic_validation.json")
+    # --quick writes a separate record: the committed full-scale artifact
+    # (gated by tests/test_synthetic_structured.py) must never be
+    # overwritten by a reduced-scale smoke
+    fname = "semantic_validation_quick.json" if args.quick else "semantic_validation.json"
+    results_path = os.path.join(REPO, "results", fname)
     os.makedirs(os.path.dirname(results_path), exist_ok=True)
     results = {}
     if os.path.exists(results_path):
@@ -273,7 +296,7 @@ def main():
         }
 
     if args.stage in ("all", "simsearch"):
-        results["simsearch"] = run_simsearch(args.data_dir)
+        results["simsearch"] = run_simsearch(args.data_dir, args.quick)
 
     with open(results_path, "w") as f:
         json.dump(results, f, indent=2)
