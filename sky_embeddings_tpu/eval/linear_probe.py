@@ -11,7 +11,7 @@ Two backends:
 
 - ``backend="jax"`` (default): fully on-device — embeddings stay on the
   accelerator, pooling/standardization/fits run jit-compiled
-  (``eval/probe_jax.py``: closed-form ridge + L-BFGS logistic). No sklearn
+  (``eval/probe_jax.py``: FISTA elastic net + L-BFGS logistic). No sklearn
   dependency and no host stall during the periodic probe.
 - ``backend="sklearn"``: the reference-exact host path, kept as the parity
   oracle (``tests/test_probe_jax.py`` asserts both agree within tolerance).

@@ -12,10 +12,17 @@ Parity notes (tolerance-tested against sklearn in ``tests/test_probe_jax.py``):
 - classifier: same objective as sklearn's lbfgs multinomial solver —
   ``0.5·||w||² + C·Σ logloss`` with an unpenalized intercept — optimized with
   ``optax.lbfgs``; accuracies agree to ~1e-3 at C=0.01 (strongly convex).
-- regressor: the reference's ElasticNet at alpha=1e-4/l1_ratio=0.9 is nearly
-  unregularized; a closed-form ridge at the matched L2 strength
-  (``alpha·(1−l1_ratio)·n``) reproduces its R² within tolerance. The L1 part
-  has no closed form and at 1e-5 effective strength does not move R².
+- regressor: sklearn's full ElasticNet objective solved with FISTA
+  (``_enet_solve``). The L1 term is NOT negligible in the probe's real
+  regime (3072 central-pooled features on ~4.8k samples): there sklearn
+  zeroes ~2/3 of the features and reaches val R² ≈ 0.46 where the
+  closed-form ridge at the matched L2 strength badly overfits (val R²
+  ≈ −0.23 measured, r4) — the earlier ridge shortcut was wrong outside
+  the well-conditioned toy regime. ``ridge_fit`` is kept for
+  well-conditioned uses; the probe path runs the elastic net.
+- every matmul that feeds a solve or a metric is pinned to
+  ``Precision.HIGHEST``: TPU default (bf16) matmul error is larger than
+  the probe's tiny regularizers and corrupts the fits.
 - the 80/20 split replicates ``train_test_split(random_state=42)`` index
   selection exactly (``RandomState(42).permutation``), so parity tests
   compare like for like.
@@ -29,6 +36,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+#: fp32 matmuls everywhere the probe solves or scores — see module docstring
+_HP = jax.lax.Precision.HIGHEST
 
 
 def split_indices(n: int, test_size: float = 0.2, seed: int = 42):
@@ -64,9 +74,11 @@ def _ridge_solve(x: jnp.ndarray, y: jnp.ndarray, l2: jnp.ndarray):
     y_mean = y.mean()
     xc = x - x_mean
     yc = y - y_mean
-    gram = xc.T @ xc + l2 * jnp.eye(x.shape[1], dtype=jnp.float32)
-    w = jax.scipy.linalg.solve(gram, xc.T @ yc, assume_a="pos")
-    b = y_mean - x_mean @ w
+    gram = jnp.matmul(xc.T, xc, precision=_HP)
+    gram = gram + l2 * jnp.eye(x.shape[1], dtype=jnp.float32)
+    rhs = jnp.matmul(xc.T, yc, precision=_HP)
+    w = jax.scipy.linalg.solve(gram, rhs, assume_a="pos")
+    b = y_mean - jnp.matmul(x_mean, w, precision=_HP)
     return w, b
 
 
@@ -78,6 +90,72 @@ def ridge_fit(x, y, alpha: float = 1e-4, l1_ratio: float = 0.9):
     n = x.shape[0]
     l2 = jnp.float32(alpha * (1.0 - l1_ratio) * n)
     return _ridge_solve(jnp.asarray(x), jnp.asarray(y), l2)
+
+
+# ----------------------------------------------------------------------
+# Elastic net (FISTA) — the probe's regressor
+# ----------------------------------------------------------------------
+
+def _soft_threshold(v, t):
+    return jnp.sign(v) * jnp.maximum(jnp.abs(v) - t, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def _enet_solve(x, y, alpha, l1_ratio, max_steps: int):
+    """Minimize sklearn's ElasticNet objective
+    ``(1/2n)·||y − Xw − b||² + alpha·l1_ratio·||w||₁
+    + 0.5·alpha·(1−l1_ratio)·||w||²`` (unpenalized intercept) with FISTA.
+
+    TPU-shaped: one fp32 Gram matmul up front, then ``max_steps`` F×F
+    matvecs inside a ``lax.scan`` — no data-dependent control flow. The
+    step size comes from a 32-iteration power-iteration estimate of the
+    Gram's top eigenvalue (padded 2% for the estimate's downward bias).
+    """
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    n = x.shape[0]
+    x_mean = x.mean(axis=0)
+    y_mean = y.mean()
+    xc = x - x_mean
+    yc = y - y_mean
+    gram = jnp.matmul(xc.T, xc, precision=_HP) / n
+    xty = jnp.matmul(xc.T, yc, precision=_HP) / n
+    l1 = alpha * l1_ratio
+    l2 = alpha * (1.0 - l1_ratio)
+
+    def piter(v, _):
+        v = jnp.matmul(gram, v, precision=_HP)
+        return v / jnp.linalg.norm(v), None
+
+    v0 = jnp.ones((gram.shape[0],), jnp.float32) / jnp.sqrt(gram.shape[0])
+    v, _ = jax.lax.scan(piter, v0, None, length=32)
+    lam = jnp.vdot(v, jnp.matmul(gram, v, precision=_HP))
+    step = 1.0 / (lam * 1.02 + l2)
+
+    def fista(carry, _):
+        w, wz, t = carry
+        grad = jnp.matmul(gram, wz, precision=_HP) - xty + l2 * wz
+        w_new = _soft_threshold(wz - step * grad, step * l1)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        wz_new = w_new + ((t - 1.0) / t_new) * (w_new - w)
+        return (w_new, wz_new, t_new), None
+
+    w0 = jnp.zeros_like(xty)
+    (w, _, _), _ = jax.lax.scan(fista, (w0, w0, jnp.float32(1.0)), None, length=max_steps)
+    b = y_mean - jnp.matmul(x_mean, w, precision=_HP)
+    return w, b
+
+
+def enet_fit(x, y, alpha: float = 1e-4, l1_ratio: float = 0.9, max_steps: int = 1000):
+    """Elastic net matched to sklearn ``ElasticNet(alpha, l1_ratio)``;
+    returns (w, b). ``max_steps=1000`` sits on the flat part of the
+    val-R² curve in the probe's real regime (measured r4: val R² 0.47 at
+    K=100, 0.49 at K=1000, 0.47 at K=10000 where sklearn's
+    max_iter=10000 coordinate descent gives 0.46)."""
+    return _enet_solve(
+        jnp.asarray(x), jnp.asarray(y), jnp.float32(alpha),
+        jnp.float32(l1_ratio), max_steps,
+    )
 
 
 def r2_score_jax(y_true, y_pred) -> jnp.ndarray:
@@ -96,7 +174,7 @@ def _logistic_loss(params, x, y_onehot, inv_cn):
     """sklearn objective scaled by 1/(C·n): mean logloss + ||w||²/(2Cn).
     Intercept unpenalized (sklearn default)."""
     w, b = params
-    logits = x @ w + b
+    logits = jnp.matmul(x, w, precision=_HP) + b
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.mean(jnp.sum(y_onehot * logp, axis=-1))
     return nll + 0.5 * inv_cn * jnp.sum(w * w)
@@ -141,7 +219,8 @@ def logistic_fit(x, y, n_classes: int, c: float = 0.01, max_steps: int = 100):
 
 def logistic_predict(params, x) -> jnp.ndarray:
     w, b = params
-    return jnp.argmax(jnp.asarray(x, jnp.float32) @ w + b, axis=-1)
+    logits = jnp.matmul(jnp.asarray(x, jnp.float32), w, precision=_HP) + b
+    return jnp.argmax(logits, axis=-1)
 
 
 # ----------------------------------------------------------------------
@@ -163,11 +242,11 @@ def probe_classification(x, y, c: float = 0.01, seed: int = 42) -> dict[str, flo
 def probe_regression(
     x, y, alpha: float = 1e-4, l1_ratio: float = 0.9, seed: int = 42
 ) -> dict[str, float]:
-    """80/20 split + closed-form ridge; returns train/val R²."""
+    """80/20 split + on-device elastic net; returns train/val R²."""
     x = standardize(jnp.asarray(x))
     y = jnp.asarray(np.asarray(y), jnp.float32)
     tr, te = split_indices(x.shape[0], seed=seed)
-    w, b = ridge_fit(x[tr], y[tr], alpha=alpha, l1_ratio=l1_ratio)
-    r2_tr = r2_score_jax(y[tr], x[tr] @ w + b)
-    r2_te = r2_score_jax(y[te], x[te] @ w + b)
+    w, b = enet_fit(x[tr], y[tr], alpha=alpha, l1_ratio=l1_ratio)
+    r2_tr = r2_score_jax(y[tr], jnp.matmul(x[tr], w, precision=_HP) + b)
+    r2_te = r2_score_jax(y[te], jnp.matmul(x[te], w, precision=_HP) + b)
     return {"train_lp_r2": float(r2_tr), "val_lp_r2": float(r2_te)}
