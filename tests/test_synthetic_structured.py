@@ -130,9 +130,9 @@ def test_semantic_loop_probe_rises_and_simsearch_retrieves(tmp_path):
     encoder must retrieve same-class objects well above chance.
 
     At this tiny geometry (16 px, depth 4, 1.5k iters) the z-color probe R²
-    rises monotonically (measured: -1.28 → -0.62) while class accuracy
-    *dips* from its random-projection init before capacity/data lift it —
-    the accuracy-rise gate therefore lives in the full-scale run
+    rises well past the +0.2 gate while class accuracy can *dip* from its
+    random-projection init before capacity/data lift it — the
+    accuracy-rise gate therefore lives in the full-scale run
     (tools/semantic_validation.py, mim_struct on TPU), and this test gates
     the R² rise plus retrieval precision."""
     import h5py
