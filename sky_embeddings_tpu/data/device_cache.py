@@ -62,6 +62,17 @@ class DeviceDataset:
         self._seed = seed
         self._epoch = 0
         self.label_keys = list(label_keys) if label_keys else None
+        if (
+            self.label_keys
+            and "class" in self.label_keys
+            and len(self.label_keys) > 1
+        ):
+            # the labels batch is one array with one dtype: mixing the int
+            # 'class' key with float keys would silently truncate the floats
+            raise ValueError(
+                "label_keys mixes 'class' with float keys "
+                f"({self.label_keys}); use separate datasets per task"
+            )
 
         with h5py.File(path, "r") as f:
             n = f["cutouts"].shape[0] if indices is None else len(indices)

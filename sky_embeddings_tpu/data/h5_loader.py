@@ -113,6 +113,17 @@ class H5Batcher:
         self.batch_size = batch_size
         self.img_size = img_size
         self.label_keys = list(label_keys) if label_keys else None
+        if (
+            self.label_keys
+            and "class" in self.label_keys
+            and len(self.label_keys) > 1
+        ):
+            # one labels array, one dtype: mixing the int 'class' key with
+            # float keys would silently truncate the floats to int32
+            raise ValueError(
+                "label_keys mixes 'class' with float keys "
+                f"({self.label_keys}); use separate datasets per task"
+            )
         self.shuffle = shuffle
         self.pixel_min = pixel_min
         self.pixel_max = pixel_max
@@ -551,6 +562,14 @@ class H5Batcher:
     # them over through shared memory; the parent re-emits in schedule
     # order, so any worker count yields the same batch stream.
     # ------------------------------------------------------------------
+    def __getstate__(self):
+        """Workers receive a pickled copy (spawn start method): strip the
+        parent's runtime process handles — epoch-1 ``Process`` objects are
+        unpicklable and would crash every later epoch's worker spawn."""
+        state = self.__dict__.copy()
+        state["_mp_procs"] = None
+        return state
+
     def _iter_multiprocess(self, schedule: tuple) -> Iterator[dict]:
         import multiprocessing as mp
 
@@ -562,10 +581,21 @@ class H5Batcher:
         out_qs = [ctx.Queue(maxsize=max(self.prefetch_batches // w, 1)) for _ in range(w)]
         mode, _payload = schedule
         run_tag = f"skyh5_{os.getpid()}_{uuid.uuid4().hex[:8]}_"
+
+        def _worker_share(i: int) -> tuple:
+            # 'exact'/'buffer' payloads are per-batch/per-round lists: ship
+            # each worker only its round-robin share (worker 0 of 1 after
+            # slicing), not w copies of the full epoch schedule. 'chunk'
+            # payloads are short run lists whose batch→worker assignment is
+            # made inside the run expansion, so they ship whole.
+            if mode == "chunk":
+                return (schedule, i, w)
+            return ((mode, _payload[i::w]), 0, 1)
+
         procs = [
             ctx.Process(
                 target=_mp_reader,
-                args=(self, schedule, i, w, out_qs[i], f"{run_tag}w{i}"),
+                args=(self, *_worker_share(i), out_qs[i], f"{run_tag}w{i}"),
                 daemon=True,
             )
             for i in range(w)

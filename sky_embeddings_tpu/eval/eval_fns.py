@@ -126,6 +126,7 @@ def extract_latents(
     key: Optional[jax.Array] = None,
     return_images: bool = False,
     to_host: bool = True,
+    batch_transform=None,
 ):
     """Batched encoder-only embeddings (reference ``mae_latent``,
     ``eval_fns.py:72-140``).
@@ -135,6 +136,9 @@ def extract_latents(
     tokens (cls [+ ra_dec]) are stripped when ``remove_prefix`` unless the
     model attention-pools (single pooled token). With ``to_host=False`` the
     latents stay on device as a jnp array (used by the on-device probe).
+    ``batch_transform`` (tokens → array), when given, is applied per batch
+    before accumulation — so a consumer that only needs pooled features
+    never holds the full (N, L, D) token set (on device or host).
     """
     attn_pooled = getattr(model, "attn_pool", False) and getattr(model, "simmim", False)
     if attn_pooled:
@@ -167,6 +171,8 @@ def extract_latents(
         tokens = encode(imgs, ra_dec)
         if remove_prefix and not attn_pooled:
             tokens = tokens[:, model.num_extra_tokens :]
+        if batch_transform is not None:
+            tokens = batch_transform(tokens)
         latents.append(tokens if not to_host else np.asarray(tokens))
         if return_images:
             images.append(np.asarray(imgs))

@@ -73,6 +73,13 @@ def probe_features(
     standardization is left to the on-device fit.
     """
     remove_prefix = combine != "token"
+    attn_pooled = getattr(model, "attn_pool", False) and getattr(model, "simmim", False)
+    if attn_pooled:
+        combine = "flatten"  # single pooled token (ref pretrain_fns.py:131-133)
+    # pool inside the extraction loop: the probe only ever needs the pooled
+    # (N, F) features, never the full (N, L, D) token set — per-batch pooling
+    # keeps the footprint at the pooled size on device and host alike
+    pool = lambda tokens: pool_features(tokens, combine)
     if isinstance(data_path, str):
         from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
 
@@ -82,29 +89,26 @@ def probe_features(
             data_path, batch_size=batch_size, img_size=img_size,
             shuffle=False, drop_remainder=False,
         )
-        latents = extract_latents(
-            model, variables, batcher, remove_prefix=remove_prefix, to_host=to_host
+        x = extract_latents(
+            model, variables, batcher, remove_prefix=remove_prefix,
+            to_host=to_host, batch_transform=pool,
         )
         with h5py.File(data_path, "r") as f:
-            y = np.asarray(f[y_label][: latents.shape[0]])
+            y = np.asarray(f[y_label][: x.shape[0]])
     else:
         ys = []
         def _collect(batches):
             for b in batches:
                 ys.append(np.asarray(b["labels"]).reshape(len(b["cutouts"]), -1)[:, 0])
                 yield b
-        latents = extract_latents(
+        x = extract_latents(
             model, variables, _collect(data_path),
-            remove_prefix=remove_prefix, to_host=to_host,
+            remove_prefix=remove_prefix, to_host=to_host, batch_transform=pool,
         )
-        y = np.concatenate(ys)[: latents.shape[0]]
+        y = np.concatenate(ys)[: x.shape[0]]
         if y_label == "class":
             y = y.astype(np.int64)
 
-    attn_pooled = getattr(model, "attn_pool", False) and getattr(model, "simmim", False)
-    if attn_pooled:
-        combine = "flatten"  # single pooled token (ref pretrain_fns.py:131-133)
-    x = pool_features(latents, combine)
     if to_host:
         from sklearn.preprocessing import StandardScaler
 

@@ -29,8 +29,9 @@ Three backward strategies, chosen by the ``stash`` flag:
   w1/w2: per slab, the weight slice and its fp32 grad accumulator are the
   only resident weight state (12·D·fs bytes, :func:`_stream_slab`), and
   the row tiles sweep beneath it. The dx path needs ``dy = Σ_j da_j@w1_jᵀ``
-  across slabs, so a fp32 (B·N, D) partial-sum buffer rides HBM between
-  slab passes (``input_output_aliases`` — read-modify-write per visit);
+  across slabs, so a fp32 (B·N, D) partial-sum buffer is carried between
+  slab passes as a regular functional input/output (``dyin``/``dyout`` —
+  each pass allocates a fresh output rather than aliasing in place);
   LN backward + dx/dscale/dbias run on the last slab's pass. Extra HBM
   traffic vs the resident backward: (nj−1)·(x+g) reads + nj·dy r/w —
   ~0.8 GB/layer at ViT-H B=256 with nj=4, far below the measured ~400 GB/s

@@ -112,8 +112,17 @@ def bank_sky_search(model, variables, target_latents, test_batcher,
     )
     if os.path.exists(bank_path):
         bank = EmbeddingBank.load(bank_path)
-        print(f"Loaded embedding bank {bank_path} "
-              f"({bank.features.shape[0]} rows, pool={bank.pool}).")
+        if bank.pool != pool:
+            # a bank built under a different pooling would be silently
+            # scored against mismatched query features — rebuild instead
+            print(f"Embedding bank {bank_path} was built with "
+                  f"pool={bank.pool!r} but this run requests {pool!r}; "
+                  "rebuilding.")
+            bank = build_bank(model, variables, test_batcher, pool=pool)
+            bank.save(bank_path)
+        else:
+            print(f"Loaded embedding bank {bank_path} "
+                  f"({bank.features.shape[0]} rows, pool={bank.pool}).")
     else:
         print("Building embedding bank (one-time FITS survey sweep)...")
         bank = build_bank(model, variables, test_batcher, pool=pool)

@@ -417,3 +417,42 @@ def test_exact_mode_multiprocess_matches_single(h5file):
         np.testing.assert_allclose(bs["cutouts"], bm["cutouts"])
         np.testing.assert_allclose(bs["ra_dec"], bm["ra_dec"])
         np.testing.assert_allclose(bs["labels"], bm["labels"])
+
+
+@pytest.mark.slow
+def test_multiprocess_survives_epoch_boundaries(sorted_h5, h5file):
+    """Worker-parallel batchers must keep working across epochs: epoch 1's
+    ``Process`` handles live on the batcher (``_mp_procs``, for the
+    failure-injection tests) and must be stripped from the pickled copy each
+    epoch-2+ worker receives (``H5Batcher.__getstate__``) — without that,
+    every ``forever()`` training stream with num_workers>0 died at its first
+    epoch boundary. Also covers the per-worker schedule slicing ('exact' and
+    'buffer' payloads ship only each worker's share)."""
+    kw = dict(batch_size=64, img_size=8, shuffle=True, shuffle_mode="buffer",
+              seed=11, drop_remainder=False)
+    single = build_h5_batcher(sorted_h5, **kw)
+    multi = build_h5_batcher(sorted_h5, num_workers=2, **kw)
+    for _ in range(2):  # epochs reshuffle; compare like epoch to like epoch
+        ref, got = list(single), list(multi)
+        assert len(got) == len(ref)
+        for bs, bm in zip(ref, got):
+            np.testing.assert_allclose(bs["cutouts"], bm["cutouts"])
+
+    idx = np.arange(0, 50, 2)
+    kw = dict(batch_size=8, img_size=16, shuffle=True, indices=idx, seed=4,
+              drop_remainder=False)
+    single = build_h5_batcher(h5file, **kw)
+    multi = build_h5_batcher(h5file, num_workers=2, **kw)
+    for _ in range(2):
+        ref, got = list(single), list(multi)
+        assert len(got) == len(ref)
+        for bs, bm in zip(ref, got):
+            np.testing.assert_allclose(bs["cutouts"], bm["cutouts"])
+
+
+def test_mixed_label_keys_rejected(h5file):
+    """One labels array has one dtype: mixing the int 'class' key with float
+    keys would silently truncate the floats, so it must raise instead."""
+    with pytest.raises(ValueError, match="mixes 'class'"):
+        build_h5_batcher(h5file, batch_size=8, img_size=16,
+                         label_keys=["zspec", "class"])

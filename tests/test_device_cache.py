@@ -101,3 +101,11 @@ def test_indices_preserve_caller_order_and_duplicates(h5file):
         z = f["zspec"][:]
     np.testing.assert_allclose(np.asarray(batch["ra_dec"][:, 0]), ra[idx], atol=1e-6)
     np.testing.assert_allclose(np.asarray(batch["labels"][:, 0]), z[idx], atol=1e-6)
+
+
+def test_mixed_label_keys_rejected(h5file):
+    """labels is one array with one dtype: mixing the int 'class' key with
+    float keys would silently truncate the floats, so it must raise."""
+    with pytest.raises(ValueError, match="mixes 'class'"):
+        DeviceDataset(h5file, batch_size=8, img_size=16,
+                      label_keys=["zspec", "class"])

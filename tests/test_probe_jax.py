@@ -134,3 +134,40 @@ def test_standardize_matches_scaler():
     ref = StandardScaler().fit_transform(x)
     got = np.asarray(probe_jax.standardize(x))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_probe_features_pool_per_batch_matches_post_pooling():
+    """probe_features pools inside the extraction loop (the full token set
+    never accumulates); the result must equal pooling after extraction."""
+    import h5py
+    import jax
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+    from sky_embeddings_tpu.eval.eval_fns import extract_latents
+    from sky_embeddings_tpu.eval.linear_probe import pool_features, probe_features
+    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+    from sky_embeddings_tpu.models.mim import SkyMIM
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "p.h5")
+        write_synthetic_h5(path, 96, channels=3, img_size=16, seed=0,
+                           nan_band_frac=0.0)
+        model = SkyMIM(img_size=16, patch_size=4, in_chans=3, embed_dim=32,
+                       depth=1, num_heads=4, simmim=True)
+        imgs = jnp.zeros((1, 3, 16, 16), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), imgs,
+                                        mask=jnp.zeros_like(imgs))
+        for combine in ("central", "mean", "token"):
+            x, _ = probe_features(model, variables, path, "zspec",
+                                  combine=combine, img_size=16, to_host=False)
+            batcher = build_h5_batcher(path, batch_size=64, img_size=16,
+                                       shuffle=False, drop_remainder=False)
+            lat = extract_latents(model, variables, batcher,
+                                  remove_prefix=combine != "token",
+                                  to_host=False)
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(pool_features(lat, combine)),
+                rtol=1e-6, atol=1e-6,
+            )
