@@ -185,6 +185,7 @@ def test_build_predictor_from_config():
     assert cfg.pretrained_mae_name() == "test_mim"
 
 
+@pytest.mark.slow
 def test_mae_decoder_stash_knob_parity():
     """``stash_decoder=False`` (recompute backward in the MAE decoder — the
     memory lever that makes B=2048 fit, BASELINE.md r4) must not change the

@@ -136,6 +136,7 @@ def test_standardize_matches_scaler():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_probe_features_pool_per_batch_matches_post_pooling():
     """probe_features pools inside the extraction loop (the full token set
     never accumulates); the result must equal pooling after extraction."""
