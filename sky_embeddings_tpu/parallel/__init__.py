@@ -1,1 +1,1 @@
-from sky_embeddings_tpu.parallel import mesh, sharding  # noqa: F401
+from sky_embeddings_tpu.parallel import mesh, sharding, zero  # noqa: F401

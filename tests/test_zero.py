@@ -1,0 +1,133 @@
+"""ZeRO-1 optimizer-state sharding (parallel/zero.py) on the virtual mesh:
+moment shards must 1/dp the per-device state, compose with TP, and leave
+training math identical to the replicated-optimizer baseline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sky_embeddings_tpu.models.mim import SkyMIM
+from sky_embeddings_tpu.ops.masking import simmim_batch_mask
+from sky_embeddings_tpu.parallel.mesh import batch_sharding, create_mesh
+from sky_embeddings_tpu.parallel.sharding import shard_params
+from sky_embeddings_tpu.parallel.zero import (
+    opt_state_shardings,
+    shard_opt_state,
+    zero_spec,
+)
+from sky_embeddings_tpu.train.optim import pretrain_optimizer
+from sky_embeddings_tpu.train.schedules import cosine_annealing
+
+TINY = dict(
+    img_size=16, patch_size=4, in_chans=3, embed_dim=64, depth=2,
+    num_heads=4, decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2,
+)
+
+
+def test_zero_spec_rules():
+    # replicated param, first dim divisible
+    assert zero_spec(P(), (64, 32), 4) == P("data")
+    # first dim indivisible -> second
+    assert zero_spec(P(), (65, 32), 4) == P(None, "data")
+    # column-parallel kernel: dim1 taken by 'model', dim0 free
+    assert zero_spec(P(None, "model"), (64, 128), 4) == P("data", "model")
+    # row-parallel kernel: dim0 taken -> dim1
+    assert zero_spec(P("model", None), (128, 64), 4) == P("model", "data")
+    # bias consumed by 'model': nothing free -> unchanged
+    assert zero_spec(P("model"), (128,), 4) == P("model")
+    # nothing divisible -> unchanged
+    assert zero_spec(P(), (17, 33), 4) == P()
+    # dp=1 -> no-op
+    assert zero_spec(P(), (64,), 1) == P()
+    # scalars -> unchanged
+    assert zero_spec(P(), (), 4) == P()
+
+
+def _tiny_setup(tp):
+    model = SkyMIM(simmim=True, norm_pix_loss=True, **TINY)
+    rng = np.random.default_rng(0)
+    B = 16
+    imgs = jnp.asarray(rng.normal(size=(B, 3, 16, 16)).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), imgs, mask=jnp.zeros_like(imgs)
+    )
+    mesh = create_mesh(model=tp)
+    params = shard_params(mesh, variables["params"])
+    tx = pretrain_optimizer(params, cosine_annealing(1e-3, 10, 100), 0.05)
+    opt_state = jax.jit(tx.init)(params)
+    return model, mesh, params, tx, opt_state, imgs
+
+
+def test_opt_state_shardings_structure():
+    """mu/nu leaves pick up 'data'; counts stay replicated; shard sizes
+    actually shrink by the dp factor."""
+    model, mesh, params, tx, opt_state, _ = _tiny_setup(tp=2)
+    shardings = opt_state_shardings(mesh, tx, opt_state, params)
+    assert jax.tree_util.tree_structure(shardings) == jax.tree_util.tree_structure(
+        opt_state
+    )
+
+    dp = mesh.shape["data"]
+    flat_state = jax.tree_util.tree_leaves(opt_state)
+    flat_sh = jax.tree_util.tree_leaves(shardings)
+    n_data = n_param_like = 0
+    for leaf, sh in zip(flat_state, flat_sh):
+        assert isinstance(sh, NamedSharding)
+        if leaf.ndim == 0:
+            assert sh.spec == P(), "scalar state must stay replicated"
+            continue
+        n_param_like += 1
+        if "data" in jax.tree_util.tree_leaves(tuple(sh.spec)):
+            n_data += 1
+            shard_shape = sh.shard_shape(leaf.shape)
+            axis = list(sh.spec).index("data")
+            assert shard_shape[axis] == leaf.shape[axis] // dp
+    # the overwhelming majority of moment leaves must actually shard
+    assert n_data >= 0.8 * n_param_like, (n_data, n_param_like)
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+@pytest.mark.slow
+def test_zero_training_matches_replicated(tp):
+    """Three AdamW steps with ZeRO-1-sharded moments must produce the same
+    parameters as the replicated-optimizer baseline."""
+    model, mesh, params, tx, opt_state, imgs = _tiny_setup(tp)
+    data_sh = batch_sharding(mesh)
+    imgs_dev = jax.device_put(imgs, data_sh)
+
+    def step(p, s, x, key):
+        mask = simmim_batch_mask(key, x.shape[0], 3, 16, 4, 0.9)
+
+        def loss_fn(q):
+            loss, _, _ = model.apply({"params": q}, x, mask=mask)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, s2 = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s2, loss
+
+    def run(p, s, jit_step):
+        for i in range(3):
+            p, s, loss = jit_step(p, s, imgs_dev, jax.random.PRNGKey(i))
+        return jax.device_get(p), float(loss)
+
+    base_params, base_loss = run(params, opt_state, jax.jit(step))
+
+    zero_state, shardings = shard_opt_state(mesh, tx, opt_state, params)
+    # assert the moments really live sharded before the run
+    mu_leaves = [
+        s for s in jax.tree_util.tree_leaves(shardings)
+        if "data" in jax.tree_util.tree_leaves(tuple(s.spec))
+    ]
+    assert mu_leaves, "no sharded moment leaves"
+    zero_step = jax.jit(step, out_shardings=(None, shardings, None))
+    zero_params, zero_loss = run(params, zero_state, zero_step)
+
+    assert abs(zero_loss - base_loss) < 1e-6 * (abs(base_loss) + 1e-9)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+        base_params, zero_params,
+    )
