@@ -32,6 +32,22 @@ Dtype = Any
 xavier_uniform = nn.initializers.xavier_uniform()
 token_init = nn.initializers.normal(stddev=0.02)
 
+# Process-wide fused-Pallas-kernel switch. GSPMD cannot partition an opaque
+# pallas_call, so under tensor parallelism (mesh 'model' axis > 1) the fused
+# kernels would force per-layer all-gathers of the TP-sharded weights; the
+# trainers call set_fused_kernels(False) when TP is active and the encoder
+# falls back to XLA einsums, which GSPMD shards natively.
+_FUSED_KERNELS = True
+
+
+def set_fused_kernels(enabled: bool) -> None:
+    global _FUSED_KERNELS
+    _FUSED_KERNELS = enabled
+
+
+def fused_kernels_enabled() -> bool:
+    return _FUSED_KERNELS
+
 
 def patchify(imgs: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     """(B, C, H, W) -> (B, L, p²·C), row-major patches, (ph, pw, c) flatten.
@@ -221,7 +237,8 @@ class MlpBlock(nn.Module):
         # wide stays on XLA unless SKY_MLP_STREAM=1 overrides.
         wide = D * self.hidden_dim > 1024 * 4096
         if (
-            jax.default_backend() == "tpu"
+            _FUSED_KERNELS
+            and jax.default_backend() == "tpu"
             and self.dtype == jnp.bfloat16
             and B % 16 == 0
             and D % 128 == 0
@@ -310,7 +327,8 @@ class Block(nn.Module):
             wproj.astype(self.dtype), bproj,
         )
         if (
-            jax.default_backend() == "tpu"
+            _FUSED_KERNELS
+            and jax.default_backend() == "tpu"
             and self.dtype == jnp.bfloat16
             and B % 16 == 0
             and D % 128 == 0

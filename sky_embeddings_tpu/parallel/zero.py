@@ -59,6 +59,7 @@ def opt_state_shardings(
     tx: optax.GradientTransformation,
     opt_state: Any,
     params: Any,
+    dp: int | None = None,
 ) -> Any:
     """NamedSharding PyTree matching ``opt_state`` (ZeRO-1 rules).
 
@@ -67,8 +68,12 @@ def opt_state_shardings(
     divisible dim; every other leaf (step counts) is replicated.
     ``optax.tree_map_params`` walks the state with the param tree aligned,
     so this works through ``chain`` / ``multi_transform`` / masked wrappers.
+
+    ``dp`` overrides the data-axis factor; pass ``dp=1`` for moments that
+    should only follow their parameter's tensor-parallel spec (no ZeRO).
     """
-    dp = int(mesh.shape.get("data", 1))
+    if dp is None:
+        dp = int(mesh.shape.get("data", 1))
     tp_specs = param_specs(params)
     # NamedSharding is not a pytree node, so a specs-as-leaves tree passes
     # through tree_map_params intact (PartitionSpec itself is a tuple and

@@ -116,7 +116,21 @@ class MIMPretrainer:
         remat: Optional[bool] = None,
     ):
         self.config = config
-        self.mesh = mesh if mesh is not None else create_mesh()
+        # [TRAINING] tensor_parallel: 'model'-axis size for Megatron-style TP
+        # (parallel/sharding.py rules); 1 = pure data parallelism.
+        # [TRAINING] zero_optimizer: shard AdamW moments 1/dp over 'data'
+        # (ZeRO-1, parallel/zero.py) — the fixed-memory lever for large
+        # models on small meshes.
+        tp = config.training.int("tensor_parallel", 1)
+        self.zero_optimizer = config.training.bool("zero_optimizer", False)
+        self.mesh = mesh if mesh is not None else create_mesh(model=tp)
+        if int(self.mesh.shape.get("model", 1)) > 1:
+            # GSPMD can't partition the opaque pallas_call: under TP the
+            # encoder must run as XLA einsums (which GSPMD shards natively)
+            # or every fused kernel would all-gather its sharded weights.
+            from sky_embeddings_tpu.models.layers import set_fused_kernels
+
+            set_fused_kernels(False)
         if dtype is None:
             # [TRAINING] dtype = float32 (reference-parity default) | bfloat16
             # (recommended on TPU: ~2x step throughput, fused kernels)
@@ -172,15 +186,30 @@ class MIMPretrainer:
         self.state = TrainState.create(params, self.tx, k_state)
         self.losses: dict = defaultdict(list)
 
-        # Place state replicated over the mesh; batches are data-sharded.
+        # Place state on the mesh: params follow the TP rules (which collapse
+        # to replication at tensor_parallel=1), AdamW moments additionally
+        # shard 1/dp over 'data' under ZeRO-1. Batches are data-sharded.
+        from sky_embeddings_tpu.parallel.sharding import param_shardings
+        from sky_embeddings_tpu.parallel.zero import opt_state_shardings
+
         rep = replicated(self.mesh)
-        self.state = jax.device_put(self.state, rep)
+        p_sh = param_shardings(self.mesh, params)
+        opt_sh = opt_state_shardings(
+            self.mesh, self.tx, self.state.opt_state, params,
+            dp=None if self.zero_optimizer else 1,
+        )
+        self.state_shardings = TrainState(
+            step=rep, params=p_sh, opt_state=opt_sh, rng=rep
+        )
+        self.state = jax.device_put(self.state, self.state_shardings)
         self.batch_shard = batch_sharding(self.mesh)
 
         clip = dict(pixel_min=self.pixel_min, pixel_max=self.pixel_max)
         self._train_step = jax.jit(
             make_mim_step(self.model, self.tx, self.max_mask_ratio, train=True, **clip),
             donate_argnums=(0,),
+            # pin the output layout so the ZeRO/TP shards survive the update
+            out_shardings=(self.state_shardings, None),
         )
         self._eval_step = jax.jit(
             make_mim_step(self.model, self.tx, self.max_mask_ratio, train=False, **clip)
@@ -251,7 +280,7 @@ class MIMPretrainer:
             opt_state=opt_state,
             rng=rng,
         )
-        self.state = jax.device_put(state, replicated(self.mesh))
+        self.state = jax.device_put(state, self.state_shardings)
         self.losses = defaultdict(list, ckpt.losses_to_lists(payload.get("losses", {})))
         return True
 

@@ -131,3 +131,81 @@ def test_zero_training_matches_replicated(tp):
         lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
         base_params, zero_params,
     )
+
+
+def test_pretrainer_config_knobs_tp_zero(tmp_path):
+    """[TRAINING] tensor_parallel / zero_optimizer wire the production
+    MIMPretrainer onto a dp×tp mesh with ZeRO-1-sharded moments, and the
+    training math matches the pure-DP baseline."""
+    from sky_embeddings_tpu.configuration import Config
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+    from sky_embeddings_tpu.train.pretrain import MIMPretrainer
+
+    def config(**training_over):
+        training = dict(
+            batch_size=8, total_batch_iters=8, max_mask_ratio=0.9,
+            norm_pix_loss=True, weight_decay=0.05, init_lr=1e-3,
+            final_lr_factor=1e4, loss_fn="L1",
+        )
+        training.update(training_over)
+        return Config.from_dict({
+            "DATA": {"val_data_file": "val.h5"},
+            "TRAINING": training,
+            "ARCHITECTURE": dict(
+                img_size=16, num_channels=3, pixel_mean=0.0, pixel_std=1.0,
+                embed_dim=48, patch_size=4, model_type="simmim",
+            ),
+        }, name="tiny_tpzero")
+
+    train = write_synthetic_h5(
+        str(tmp_path / "train.h5"), 32, channels=3, img_size=16, seed=0
+    )
+    batches = list(build_h5_batcher(train, batch_size=8, img_size=16).take(3))
+
+    base = MIMPretrainer(config(), seed=0)
+    sharded = MIMPretrainer(
+        config(tensor_parallel=2, zero_optimizer=True), seed=0
+    )
+    assert sharded.mesh.shape["model"] == 2
+    assert sharded.zero_optimizer
+
+    # params actually live TP-sharded, moments ZeRO-sharded over 'data'
+    def axes(tree):
+        out = set()
+        for leaf in jax.tree_util.tree_leaves(tree):
+            for ax in jax.tree_util.tree_leaves(tuple(leaf.sharding.spec)):
+                out.add(ax)
+        return out
+
+    assert "model" in axes(sharded.state.params)
+    assert "data" in axes(sharded.state.opt_state)
+    # dp-only baseline: specs may mention the trivial size-1 'model' axis,
+    # but every shard must cover the full array (effectively replicated)
+    for leaf in jax.tree_util.tree_leaves(base.state.params):
+        assert leaf.sharding.shard_shape(leaf.shape) == leaf.shape
+    # ...while the TP run's qkv kernels really are split
+    qkv = sharded.state.params["encoder"]["block0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.shard_shape(qkv.shape)[-1] == qkv.shape[-1] // 2
+
+    for batch in batches:
+        l_base = float(base.train_batch(batch))
+        l_sh = float(sharded.train_batch(batch))
+        np.testing.assert_allclose(l_sh, l_base, rtol=2e-4)
+
+    # the update preserved the pinned layouts (out_shardings round-trip)
+    assert "model" in axes(sharded.state.params)
+    assert "data" in axes(sharded.state.opt_state)
+
+    # checkpoint round-trip restores into the sharded layout
+    path = str(tmp_path / "tpz.ckpt.msgpack")
+    sharded.save(path)
+    resumed = MIMPretrainer(config(tensor_parallel=2, zero_optimizer=True), seed=1)
+    assert resumed.restore(path)
+    assert resumed.cur_iter == 3
+    assert "model" in axes(resumed.state.params)
+    assert "data" in axes(resumed.state.opt_state)
+    np.testing.assert_allclose(
+        np.asarray(resumed.state.params["cls_token"]),
+        np.asarray(sharded.state.params["cls_token"]),
+    )
