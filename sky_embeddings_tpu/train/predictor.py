@@ -173,7 +173,17 @@ class PredictorTrainer:
     ):
         self.config = config
         self.mae_config = mae_config
-        self.mesh = mesh if mesh is not None else create_mesh()
+        # [TRAINING] tensor_parallel / zero_optimizer — same knobs as the
+        # MIM pretrainer (see train/pretrain.py); default = pure DP.
+        tp = config.training.int("tensor_parallel", 1)
+        self.zero_optimizer = config.training.bool("zero_optimizer", False)
+        self.mesh = mesh if mesh is not None else create_mesh(model=tp)
+        if int(self.mesh.shape.get("model", 1)) > 1:
+            # GSPMD can't partition the opaque pallas_call — under TP the
+            # encoder runs as XLA einsums (see models/layers.py).
+            from sky_embeddings_tpu.models.layers import set_fused_kernels
+
+            set_fused_kernels(False)
         if dtype is None:
             dtype = jnp.dtype(config.training.str("dtype", "float32")).type
         self.model = build_predictor_model(
@@ -225,7 +235,22 @@ class PredictorTrainer:
             self.tx = optim.supervised_optimizer(params, sched(init_lr), weight_decay)
 
         self.state = TrainState.create(params, self.tx, k_state)
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        # Params follow the TP rules (replication at tensor_parallel=1);
+        # optimizer state additionally shards over 'data' under ZeRO-1.
+        from sky_embeddings_tpu.parallel.sharding import param_shardings
+        from sky_embeddings_tpu.parallel.zero import opt_state_shardings
+
+        rep = replicated(self.mesh)
+        self.state_shardings = TrainState(
+            step=rep,
+            params=param_shardings(self.mesh, params),
+            opt_state=opt_state_shardings(
+                self.mesh, self.tx, self.state.opt_state, params,
+                dp=None if self.zero_optimizer else 1,
+            ),
+            rng=rep,
+        )
+        self.state = jax.device_put(self.state, self.state_shardings)
         self.batch_shard = batch_sharding(self.mesh)
         self.losses: dict = defaultdict(list)
 
@@ -249,7 +274,10 @@ class PredictorTrainer:
             pixel_max=self.pixel_max,
         )
         self._train_step = jax.jit(
-            make_predictor_step(train=True, **common), donate_argnums=(0,)
+            make_predictor_step(train=True, **common),
+            donate_argnums=(0,),
+            # pin the state layout so the ZeRO/TP shards survive the update
+            out_shardings=(self.state_shardings, None, None),
         )
         self._eval_step = jax.jit(make_predictor_step(train=False, **common))
 
@@ -290,13 +318,13 @@ class PredictorTrainer:
         abstract = self.state.abstract()
         mim_params = ckpt.adapt_block_layout(payload["params"], abstract.params)
         merged = warm_start_from_mim(abstract.params, mim_params, log_fn=log_fn)
-        rep = replicated(self.mesh)
         params = jax.tree_util.tree_map(
-            lambda cur, new: cur
+            lambda cur, new, sh: cur
             if isinstance(new, jax.ShapeDtypeStruct)
-            else jax.device_put(jnp.asarray(new), rep),
+            else jax.device_put(jnp.asarray(new), sh),
             self.state.params,
             merged,
+            self.state_shardings.params,
         )
         self.state = self.state.replace(params=params)
         return True
@@ -335,7 +363,7 @@ class PredictorTrainer:
             opt_state=opt_state,
             rng=rng,
         )
-        self.state = jax.device_put(state, replicated(self.mesh))
+        self.state = jax.device_put(state, self.state_shardings)
         self.losses = defaultdict(list, ckpt.losses_to_lists(payload.get("losses", {})))
         return True
 

@@ -209,3 +209,70 @@ def test_pretrainer_config_knobs_tp_zero(tmp_path):
         np.asarray(resumed.state.params["cls_token"]),
         np.asarray(sharded.state.params["cls_token"]),
     )
+
+
+def test_predictor_trainer_tp_zero_ft(tmp_path):
+    """The ft regime's layer-decay multi_transform optimizer state shards
+    under ZeRO-1 through the PredictorTrainer config knobs, matching the
+    pure-DP baseline."""
+    from sky_embeddings_tpu.configuration import Config
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+    from sky_embeddings_tpu.train.predictor import PredictorTrainer
+
+    mim_cfg = Config.from_dict({
+        "DATA": {},
+        "TRAINING": dict(
+            batch_size=8, total_batch_iters=5, max_mask_ratio=0.9,
+            norm_pix_loss=True, weight_decay=0.05, init_lr=1e-3,
+            final_lr_factor=1e4, loss_fn="L1",
+        ),
+        "ARCHITECTURE": dict(
+            img_size=16, num_channels=3, pixel_mean=0.0, pixel_std=1.0,
+            embed_dim=48, patch_size=4, model_type="simmim",
+        ),
+    }, name="mim_t")
+
+    def pred_cfg(**training_over):
+        training = dict(
+            train_method="ft", pretained_mae="mim_t", num_train=-1,
+            batch_size=8, total_batch_iters=10, layer_decay=0.5,
+            weight_decay=0.01, init_lr=1e-3, final_lr_factor=1e3,
+            augment=False, use_label_errs=False, loss_fn="mse",
+        )
+        training.update(training_over)
+        return Config.from_dict({
+            "DATA": dict(label_keys="['zspec']", label_means="[0.64]",
+                         label_stds="[0.64]"),
+            "TRAINING": training,
+            "ARCHITECTURE": dict(img_size=16, global_pool="map", dropout=0.0),
+        }, name="pred_tpz")
+
+    train = write_synthetic_h5(
+        str(tmp_path / "train.h5"), 32, channels=3, img_size=16, seed=0
+    )
+    batches = list(
+        build_h5_batcher(train, batch_size=8, img_size=16,
+                         label_keys=["zspec"]).take(3)
+    )
+
+    base = PredictorTrainer(pred_cfg(), mim_cfg, seed=0)
+    sharded = PredictorTrainer(
+        pred_cfg(tensor_parallel=2, zero_optimizer=True), mim_cfg, seed=0
+    )
+    assert sharded.mesh.shape["model"] == 2
+
+    def has_data_axis(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            sh = getattr(leaf, "sharding", None)
+            if sh is not None and "data" in jax.tree_util.tree_leaves(tuple(sh.spec)):
+                return True
+        return False
+
+    assert has_data_axis(sharded.state.opt_state)
+
+    for batch in batches:
+        l_base, _ = base.train_batch(batch)
+        l_sh, _ = sharded.train_batch(batch)
+        np.testing.assert_allclose(float(l_sh), float(l_base), rtol=2e-4)
+    assert has_data_axis(sharded.state.opt_state)
