@@ -133,6 +133,7 @@ def test_zero_training_matches_replicated(tp):
     )
 
 
+@pytest.mark.slow
 def test_pretrainer_config_knobs_tp_zero(tmp_path):
     """[TRAINING] tensor_parallel / zero_optimizer wire the production
     MIMPretrainer onto a dp×tp mesh with ZeRO-1-sharded moments, and the
@@ -211,6 +212,7 @@ def test_pretrainer_config_knobs_tp_zero(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_predictor_trainer_tp_zero_ft(tmp_path):
     """The ft regime's layer-decay multi_transform optimizer state shards
     under ZeRO-1 through the PredictorTrainer config knobs, matching the
