@@ -60,7 +60,15 @@ def scheduled_weight_decay(schedule, mask) -> optax.GradientTransformation:
 class JEPATrainer:
     def __init__(self, config: Config, mesh=None, dtype=None, seed: int = 0):
         self.config = config
-        self.mesh = mesh if mesh is not None else create_mesh()
+        # [TRAINING] tensor_parallel / zero_optimizer — same knobs as the
+        # MIM pretrainer (train/pretrain.py); default = pure DP.
+        tp = config.training.int("tensor_parallel", 1)
+        self.zero_optimizer = config.training.bool("zero_optimizer", False)
+        self.mesh = mesh if mesh is not None else create_mesh(model=tp)
+        if int(self.mesh.shape.get("model", 1)) > 1:
+            from sky_embeddings_tpu.models.layers import set_fused_kernels
+
+            set_fused_kernels(False)
         if dtype is None:
             dtype = jnp.dtype(config.training.str("dtype", "float32")).type
         self.model = build_jepa_model(config, dtype=dtype)
@@ -124,11 +132,32 @@ class JEPATrainer:
             opt_state=jax.jit(self.tx.init)(params),
             rng=k_state,
         )
-        self.state = jax.device_put(self.state, replicated(self.mesh))
+        # Params + EMA targets follow the TP rules (replication at tp=1);
+        # optimizer state additionally shards over 'data' under ZeRO-1.
+        from sky_embeddings_tpu.parallel.sharding import param_shardings
+        from sky_embeddings_tpu.parallel.zero import opt_state_shardings
+
+        rep = replicated(self.mesh)
+        self.state_shardings = JEPAState(
+            step=rep,
+            params=param_shardings(self.mesh, params),
+            target_params=param_shardings(self.mesh, self.state.target_params),
+            opt_state=opt_state_shardings(
+                self.mesh, self.tx, self.state.opt_state, params,
+                dp=None if self.zero_optimizer else 1,
+            ),
+            rng=rep,
+        )
+        self.state = jax.device_put(self.state, self.state_shardings)
         self.batch_shard = batch_sharding(self.mesh)
         self.losses: dict = defaultdict(list)
 
-        self._train_step = jax.jit(self._make_step(train=True), donate_argnums=(0,))
+        self._train_step = jax.jit(
+            self._make_step(train=True),
+            donate_argnums=(0,),
+            # pin the state layout so the ZeRO/TP shards survive the update
+            out_shardings=(self.state_shardings, None),
+        )
         self._eval_step = jax.jit(self._make_step(train=False))
 
     # ------------------------------------------------------------------
@@ -230,6 +259,6 @@ class JEPATrainer:
             opt_state=ckpt.restore_like(abstract.opt_state, payload["opt_state"]),
             rng=jnp.asarray(payload["rng"], jnp.uint32),
         )
-        self.state = jax.device_put(state, replicated(self.mesh))
+        self.state = jax.device_put(state, self.state_shardings)
         self.losses = defaultdict(list, ckpt.losses_to_lists(payload.get("losses", {})))
         return True

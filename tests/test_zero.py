@@ -278,3 +278,63 @@ def test_predictor_trainer_tp_zero_ft(tmp_path):
         l_sh, _ = sharded.train_batch(batch)
         np.testing.assert_allclose(float(l_sh), float(l_base), rtol=2e-4)
     assert has_data_axis(sharded.state.opt_state)
+
+
+@pytest.mark.slow
+def test_jepa_trainer_tp_zero(tmp_path):
+    """TP+ZeRO knobs through the JEPA trainer: the custom
+    scheduled-weight-decay chain's state must shard, the EMA target tree
+    must keep its TP layout through the step, and the loss must match the
+    pure-DP baseline."""
+    from sky_embeddings_tpu.configuration import Config
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+    from sky_embeddings_tpu.train.jepa import JEPATrainer
+
+    def config(**training_over):
+        training = dict(
+            batch_size=8, ema="[0.9, 1.0]", total_batch_iters=10,
+            weight_decay=0.04, final_weight_decay=0.4,
+            start_lr=2e-4, ref_lr=1e-3, final_lr=1e-6,
+        )
+        training.update(training_over)
+        return Config.from_dict({
+            "DATA": {},
+            "TRAINING": training,
+            "MASK": dict(
+                allow_overlap=False, aspect_ratio="[0.75, 1.5]",
+                enc_mask_scale="[0.85, 1.0]", min_keep=5,
+                num_enc_masks=1, num_pred_masks=4, pred_mask_scale="[0.15, 0.2]",
+            ),
+            "ARCHITECTURE": dict(
+                img_size=16, num_channels=3, pixel_mean=0.0, pixel_std=1.0,
+                patch_size=4, model_type="tiny", pred_depth=2, pred_emb_dim=96,
+            ),
+        }, name="jepa_tpz")
+
+    train = write_synthetic_h5(
+        str(tmp_path / "train.h5"), 32, channels=3, img_size=16, seed=0
+    )
+    batches = list(build_h5_batcher(train, batch_size=8, img_size=16).take(3))
+
+    base = JEPATrainer(config(), seed=0)
+    sharded = JEPATrainer(config(tensor_parallel=2, zero_optimizer=True), seed=0)
+    assert sharded.mesh.shape["model"] == 2
+
+    def has_axis(tree, name):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            sh = getattr(leaf, "sharding", None)
+            if sh is not None and name in jax.tree_util.tree_leaves(tuple(sh.spec)):
+                return True
+        return False
+
+    assert has_axis(sharded.state.opt_state, "data")
+    # EMA targets split like their encoder params
+    assert has_axis(sharded.state.target_params, "model")
+
+    for batch in batches:
+        l_base = float(base.train_batch(batch))
+        l_sh = float(sharded.train_batch(batch))
+        np.testing.assert_allclose(l_sh, l_base, rtol=2e-4)
+    assert has_axis(sharded.state.opt_state, "data")
+    assert has_axis(sharded.state.target_params, "model")
