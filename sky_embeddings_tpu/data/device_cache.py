@@ -108,8 +108,10 @@ class DeviceDataset:
         if cutouts.shape[-1] > img_size or cutouts.shape[-2] > img_size:
             cutouts = np.ascontiguousarray(central_crop(cutouts, img_size))
 
-        # the one-time transfers
-        self.cutouts = jax.device_put(jnp.asarray(cutouts, dtype))
+        # the one-time transfers; cast on HOST first so the wire carries the
+        # storage dtype's bytes (bf16 halves the upload vs shipping fp32 and
+        # casting on device — this matters on tunneled harnesses)
+        self.cutouts = jax.device_put(np.asarray(cutouts, np.dtype(dtype)))
         self.ra_dec = jax.device_put(
             jnp.stack([jnp.asarray(ra, jnp.float32), jnp.asarray(dec, jnp.float32)], axis=1)
         )

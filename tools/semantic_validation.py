@@ -19,8 +19,9 @@ on the class/redshift-structured synthetic survey
    which is the reference's own claim (its ``cls_{ft,fs}_2k`` configs and
    ``compare_predictors.py`` size sweep; README: fine-tuning wins "when
    only limited labelled data is available"). With all 12k labels the
-   advantage inverts on this survey — measured and recorded as the
-   ungated ``finetune_12k_labels`` row;
+   advantage inverts on this survey — measured on TPU 2026-08-20:
+   ft MAD 0.0454 vs from-scratch 0.0306 (ungated, not part of the
+   committed artifact);
 3. similarity search: QSO/galaxy target groups against the embedded val
    survey — **top-k precision on same-class retrieval must beat chance**.
 
@@ -97,13 +98,19 @@ def run_pretrain(data_dir: str, verbose_iters: int, quick: bool) -> dict:
     if pretrainer.restore(model_filename):
         print(f"Resumed mim_struct at iteration {pretrainer.cur_iter}.")
 
+    import jax.numpy as jnp
+
     bs = pretrainer.batch_size
     img_size = pretrainer.model.img_size
     # device-resident datasets: this corpus fits in HBM, so host<->device
-    # traffic is paid once instead of once per step (data/device_cache.py)
+    # traffic is paid once instead of once per step (data/device_cache.py).
+    # bf16 storage halves the one-time upload (the model casts activations
+    # to bf16 anyway; the semantic gates are insensitive to the ~0.4%
+    # pixel quantization, and on this harness the upload rides a slow
+    # tunnel, so the 3.3 GB fp32 train set is the stage's startup cost)
     train_ds = DeviceDataset(
         os.path.join(data_dir, "struct_train.h5"), batch_size=bs,
-        img_size=img_size, shuffle=True,
+        img_size=img_size, shuffle=True, dtype=jnp.bfloat16,
     )
     val_ds = DeviceDataset(
         os.path.join(data_dir, "struct_val.h5"), batch_size=bs,
