@@ -35,6 +35,9 @@ def parse_args():
                    help="config-name prefixes, e.g. cls_fs cls_ft cls_ap")
     p.add_argument("-dd", "--data_dir", type=str, default=None)
     p.add_argument("-o", "--out_name", type=str, default="compare_predictors")
+    p.add_argument("--json", action="store_true",
+                   help="also write results/<out_name>.json with the "
+                        "metric-vs-num_train rows")
     return p.parse_args()
 
 
@@ -126,6 +129,24 @@ def main():
     if not any(results.values()):
         print("No evaluable checkpoints found.")
         return
+
+    if args.json:
+        import json
+
+        out_json = os.path.join(cur_dir, "results", f"{args.out_name}.json")
+        os.makedirs(os.path.dirname(out_json), exist_ok=True)
+        with open(out_json, "w") as f:
+            json.dump(
+                {
+                    fam: [
+                        {"num_train": n, **m}
+                        for n, m in sorted(rows, key=lambda r: r[0])
+                    ]
+                    for fam, rows in results.items()
+                },
+                f, indent=2,
+            )
+        print(f"Saved {out_json}")
 
     metric_names = sorted({k for fam in results.values() for _, m in fam for k in m})
     import matplotlib.pyplot as plt

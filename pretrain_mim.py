@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 from sky_embeddings_tpu.configuration import load_config
-from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+from sky_embeddings_tpu.data.device_cache import build_cached_or_streaming_batcher
 from sky_embeddings_tpu.parallel import distributed
 from sky_embeddings_tpu.train.pretrain import MIMPretrainer, train_network
 from sky_embeddings_tpu.utils.checkpoint import checkpoint_path
@@ -63,15 +63,15 @@ def main(args):
     local_bs = batch_size // n_proc  # each process feeds its shard
 
     if "train_data_file" in data:
-        train_batcher = build_h5_batcher(
+        # pixel clip runs on device inside the jitted step — the host
+        # pipeline stays a single read pass (see h5_loader docstring);
+        # [DATA] device_cache picks HBM-resident vs streaming serving
+        train_batcher = build_cached_or_streaming_batcher(
+            data,
             os.path.join(data_dir, data.str("train_data_file")),
             batch_size=local_bs,
             img_size=img_size,
             shuffle=True,
-            # pixel clip runs on device inside the jitted step — the host
-            # pipeline stays a single read pass (see h5_loader docstring)
-            pixel_min=None,
-            pixel_max=None,
             num_workers=data.int("num_workers", 0),
             process_count=n_proc,
             process_index=proc_id,
@@ -94,7 +94,8 @@ def main(args):
         print(f"The training set consists of {len(train_batcher)} sky tiles.")
         train_batches = train_batcher.forever()
 
-    val_batcher = build_h5_batcher(
+    val_batcher = build_cached_or_streaming_batcher(
+        data,
         os.path.join(data_dir, data.str("val_data_file")),
         batch_size=local_bs,
         img_size=img_size,

@@ -18,6 +18,7 @@ Yields the same dict-batch schema as ``H5Batcher``:
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -161,3 +162,79 @@ class DeviceDataset:
     def forever(self) -> Iterator[dict]:
         while True:
             yield from self
+
+
+def build_cached_or_streaming_batcher(
+    data_cfg,
+    path: str,
+    batch_size: int,
+    img_size: int = 64,
+    label_keys: Optional[Sequence[str]] = None,
+    shuffle: bool = True,
+    indices: Optional[Sequence[int]] = None,
+    process_count: int = 1,
+    process_index: int = 0,
+    num_workers: int = 0,
+    log_fn=print,
+):
+    """Front-door dispatch between :class:`DeviceDataset` and ``H5Batcher``.
+
+    Driven by the ``[DATA]`` config section (the reference's dataloader knobs
+    live there too, ``configs/README.md``):
+
+    - ``device_cache = True | False | auto`` (default ``auto``): ``True``
+      caches the whole file in HBM; ``auto`` caches only when the corpus fits
+      under ``device_cache_bytes`` (default 2 GiB — comfortably inside a
+      16 GiB v5e alongside model + optimizer state); ``False`` always streams.
+    - ``device_cache_dtype = float32 | bfloat16``: on-device storage dtype
+      (bf16 halves HBM and the one-time upload; models cast inputs anyway).
+
+    Multi-process runs always stream: the cache is whole-corpus-per-process,
+    so sharded hosts would each upload the full file for a 1/N use of it.
+    Both returned objects serve the same dict-batch schema
+    (``{"cutouts", "ra_dec"[, "labels"]}``) with the pixel clip left to the
+    jitted train step, so the choice is invisible to the training loops.
+    """
+    from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+
+    mode = str(data_cfg.get("device_cache", "auto")).strip().lower()
+    if mode not in ("true", "false", "auto", "1", "0"):
+        raise ValueError(f"device_cache must be True/False/auto, got {mode!r}")
+    want = mode in ("true", "1")
+    max_bytes = int(data_cfg.int("device_cache_bytes", 2 << 30))
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        data_cfg.str("device_cache_dtype", "float32").strip().lower()
+    ]
+
+    if process_count == 1 and (want or mode == "auto"):
+        with h5py.File(path, "r") as f:
+            n = f["cutouts"].shape[0] if indices is None else len(indices)
+            bytes_needed = (
+                n * int(np.prod(f["cutouts"].shape[1:])) * np.dtype(dtype).itemsize
+            )
+        if bytes_needed <= max_bytes:
+            log_fn(
+                f"Device-caching {os.path.basename(path)} "
+                f"({bytes_needed / 2**20:.0f} MiB as {np.dtype(dtype).name})."
+            )
+            return DeviceDataset(
+                path, batch_size=batch_size, img_size=img_size,
+                label_keys=label_keys, shuffle=shuffle, indices=indices,
+                pixel_min=None, pixel_max=None,  # clip runs in the jitted step
+                dtype=dtype, max_bytes=max_bytes,
+            )
+        if want:
+            raise ValueError(
+                f"device_cache = True but {path} needs "
+                f"{bytes_needed / 2**30:.1f} GiB (> device_cache_bytes "
+                f"{max_bytes / 2**30:.1f} GiB); raise the limit or stream"
+            )
+    elif want and process_count > 1:
+        log_fn("device_cache requested but multi-process run — streaming instead.")
+
+    return build_h5_batcher(
+        path, batch_size=batch_size, img_size=img_size, label_keys=label_keys,
+        shuffle=shuffle, indices=indices, pixel_min=None, pixel_max=None,
+        num_workers=num_workers, process_count=process_count,
+        process_index=process_index,
+    )

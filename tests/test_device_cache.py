@@ -109,3 +109,92 @@ def test_mixed_label_keys_rejected(h5file):
     with pytest.raises(ValueError, match="mixes 'class'"):
         DeviceDataset(h5file, batch_size=8, img_size=16,
                       label_keys=["zspec", "class"])
+
+
+def test_bf16_storage_preserves_nans_and_values(tmp_path):
+    """bf16 storage path: dtype lands on device as bfloat16, NaN pixels
+    (missing-band semantics, SURVEY §2.5) survive the host cast, and values
+    round-trip within bf16 quantization (~0.4% relative)."""
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.data.synthetic import write_synthetic_h5
+
+    path = str(tmp_path / "bf16.h5")
+    write_synthetic_h5(path, n=12, channels=3, img_size=16, seed=5)
+    with h5py.File(path, "r+") as f:
+        f["cutouts"][0, 1] = np.nan  # NaN out a whole band
+        raw = f["cutouts"][:]
+    ds = DeviceDataset(path, batch_size=12, img_size=16, shuffle=False,
+                       pixel_min=None, dtype=jnp.bfloat16)
+    assert ds.cutouts.dtype == jnp.bfloat16
+    got = np.asarray(ds.cutouts, np.float32)
+    assert np.isnan(got[0, 1]).all()
+    mask = ~np.isnan(raw)
+    np.testing.assert_allclose(got[mask], raw[mask], rtol=8e-3, atol=1e-6)
+
+
+def _data_section(**kw):
+    from sky_embeddings_tpu.configuration import Config
+
+    return Config.from_dict({"DATA": {k: str(v) for k, v in kw.items()}}).data
+
+
+def test_dispatch_auto_caches_small_and_matches_stream(h5file):
+    """[DATA] device_cache = auto must cache a small corpus, and the cached
+    stream must equal the streaming one batch-for-batch (shuffle off)."""
+    from sky_embeddings_tpu.data.device_cache import (
+        build_cached_or_streaming_batcher,
+    )
+    from sky_embeddings_tpu.data.h5_loader import H5Batcher
+
+    kw = dict(batch_size=16, img_size=16, shuffle=False, label_keys=["zspec"])
+    cached = build_cached_or_streaming_batcher(
+        _data_section(), h5file, log_fn=lambda *_: None, **kw)
+    assert isinstance(cached, DeviceDataset)
+    streamed = build_cached_or_streaming_batcher(
+        _data_section(device_cache=False), h5file, **kw)
+    assert isinstance(streamed, H5Batcher)
+    for bd, bs in zip(cached, streamed):
+        np.testing.assert_allclose(
+            np.asarray(bd["cutouts"]), np.asarray(bs["cutouts"]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(bd["labels"]), np.asarray(bs["labels"]), atol=1e-6)
+
+
+def test_dispatch_threshold_and_multiprocess(h5file):
+    """auto over the byte threshold streams; device_cache=True over it
+    raises; multi-process runs always stream (whole-corpus-per-host cache
+    would waste the upload N-fold)."""
+    from sky_embeddings_tpu.data.device_cache import (
+        build_cached_or_streaming_batcher,
+    )
+    from sky_embeddings_tpu.data.h5_loader import H5Batcher
+
+    kw = dict(batch_size=16, img_size=16, shuffle=False)
+    small = _data_section(device_cache="auto", device_cache_bytes=100)
+    assert isinstance(
+        build_cached_or_streaming_batcher(small, h5file, **kw), H5Batcher)
+    with pytest.raises(ValueError, match="device_cache_bytes"):
+        build_cached_or_streaming_batcher(
+            _data_section(device_cache=True, device_cache_bytes=100),
+            h5file, **kw)
+    multi = build_cached_or_streaming_batcher(
+        _data_section(device_cache=True), h5file,
+        process_count=2, process_index=0, log_fn=lambda *_: None, **kw)
+    assert isinstance(multi, H5Batcher)
+
+
+def test_dispatch_bf16_dtype_knob(h5file):
+    """[DATA] device_cache_dtype = bfloat16 reaches the on-device storage."""
+    import jax.numpy as jnp
+
+    from sky_embeddings_tpu.data.device_cache import (
+        build_cached_or_streaming_batcher,
+    )
+
+    ds = build_cached_or_streaming_batcher(
+        _data_section(device_cache=True, device_cache_dtype="bfloat16"),
+        h5file, batch_size=16, img_size=16, shuffle=False,
+        log_fn=lambda *_: None)
+    assert isinstance(ds, DeviceDataset)
+    assert ds.cutouts.dtype == jnp.bfloat16

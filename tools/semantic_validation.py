@@ -107,7 +107,9 @@ def run_pretrain(data_dir: str, verbose_iters: int, quick: bool) -> dict:
     # bf16 storage halves the one-time upload (the model casts activations
     # to bf16 anyway; the semantic gates are insensitive to the ~0.4%
     # pixel quantization, and on this harness the upload rides a slow
-    # tunnel, so the 3.3 GB fp32 train set is the stage's startup cost)
+    # tunnel, so the 3.3 GB fp32 train set is the stage's startup cost).
+    # val_ds stays fp32, so train/val losses are not bit-comparable (the
+    # gate is on the val-loss *trend*, which is unaffected)
     train_ds = DeviceDataset(
         os.path.join(data_dir, "struct_train.h5"), batch_size=bs,
         img_size=img_size, shuffle=True, dtype=jnp.bfloat16,
@@ -166,7 +168,10 @@ def run_finetune(name: str, data_dir: str, verbose_iters: int, quick: bool):
     model_filename = checkpoint_path(model_dir, name + suffix)
     best_filename = checkpoint_path(model_dir, name + suffix, best=True)
 
-    warm = config.training.str("train_method") == "ft"
+    # ft fine-tunes the pretrained backbone; lp (linear/attentive probe)
+    # freezes it — both start from the MIM weights (reference
+    # train_predictor.py warm-starts whenever pretained_mae is set)
+    warm = config.training.str("train_method") in ("ft", "lp")
     if os.path.exists(best_filename) and trainer.restore(best_filename):
         print(f"Resumed {name} from best checkpoint at {trainer.cur_iter}.")
     elif warm:

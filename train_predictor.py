@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 
 from sky_embeddings_tpu.configuration import load_config
-from sky_embeddings_tpu.data.h5_loader import build_h5_batcher
+from sky_embeddings_tpu.data.device_cache import build_cached_or_streaming_batcher
 from sky_embeddings_tpu.parallel import distributed
 from sky_embeddings_tpu.train.predictor import PredictorTrainer, train_predictor_network
 from sky_embeddings_tpu.utils.checkpoint import checkpoint_path
@@ -84,16 +84,17 @@ def main(args):
     if batch_size % n_proc:
         raise SystemExit(f"batch_size {batch_size} not divisible by {n_proc} processes")
     local_bs = batch_size // n_proc
-    train_batcher = build_h5_batcher(
-        train_file, batch_size=local_bs, img_size=img_size,
+    # clip runs on device in the jitted step (see h5_loader docstring);
+    # [DATA] device_cache picks HBM-resident vs streaming serving
+    train_batcher = build_cached_or_streaming_batcher(
+        data, train_file, batch_size=local_bs, img_size=img_size,
         label_keys=label_keys, shuffle=True, indices=indices,
-        # clip runs on device in the jitted step (see h5_loader docstring)
-        pixel_min=None, pixel_max=None,
         num_workers=data.int("num_workers", 0),
         process_count=n_proc, process_index=proc_id,
     )
     print(f"The training set consists of {train_batcher.num_samples} cutouts.")
-    val_batcher = build_h5_batcher(
+    val_batcher = build_cached_or_streaming_batcher(
+        data,
         os.path.join(data_dir, data.str("val_data_file")),
         batch_size=local_bs, img_size=img_size,
         label_keys=label_keys, shuffle=True,
