@@ -308,9 +308,15 @@ class Block(nn.Module):
     # B=1024 bf16 for ~400 MB/layer HBM (writes overlap the MXU-bound fwd).
     stash: bool = True
     stash_mlp: bool = False
+    # seg_len > 0 declares x's N axis to hold N // seg_len packed samples
+    # (MAE short-sequence packing): attention is masked to the block
+    # diagonal; the per-token LN/MLP halves need no change. An attribute
+    # (not a call arg) so it stays static under nn.remat.
+    seg_len: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        seg_len = self.seg_len
         from sky_embeddings_tpu.ops.kernels.attn_block import (
             _use_loop_heads,
             fused_attn_block,
@@ -344,9 +350,10 @@ class Block(nn.Module):
             )
         ):
             # block sizes 0 -> geometry-scaled auto tiles (auto_block_b)
-            x = fused_attn_block(*args, self.num_heads, 0, 0, False, self.stash)
+            x = fused_attn_block(*args, self.num_heads, 0, 0, False, self.stash,
+                                 seg_len)
         else:
-            x = xla_attn_block(*args, self.num_heads)
+            x = xla_attn_block(*args, self.num_heads, seg_len)
         return MlpBlock(
             int(D * self.mlp_ratio), dtype=self.dtype, stash=self.stash_mlp,
             name="ffn"
@@ -362,13 +369,14 @@ class _ScanBody(nn.Module):
     remat: bool
     stash: bool
     stash_mlp: bool
+    seg_len: int = 0
 
     @nn.compact
     def __call__(self, x, _):
         block_cls = nn.remat(Block) if self.remat else Block
         x = block_cls(
             self.num_heads, self.mlp_ratio, dtype=self.dtype, stash=self.stash,
-            stash_mlp=self.stash_mlp, name="block"
+            stash_mlp=self.stash_mlp, seg_len=self.seg_len, name="block"
         )(x)
         return x, None
 
@@ -410,7 +418,7 @@ class Encoder(nn.Module):
     scan_unroll: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, seg_len: int = 0) -> jnp.ndarray:
         # Under remat the forward is replayed in the backward anyway, so the
         # stash writes would be paid twice for no recompute saving — disable.
         stash = self.stash and not self.remat
@@ -425,14 +433,14 @@ class Encoder(nn.Module):
             )
             x, _ = scanned(
                 self.num_heads, self.mlp_ratio, self.dtype, self.remat,
-                stash, stash_mlp, name="blocks",
+                stash, stash_mlp, seg_len, name="blocks",
             )(x, None)
             return x
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
             x = block_cls(
                 self.num_heads, self.mlp_ratio, dtype=self.dtype, stash=stash,
-                stash_mlp=stash_mlp, name=f"block{i}"
+                stash_mlp=stash_mlp, seg_len=seg_len, name=f"block{i}"
             )(x)
         return x
 

@@ -93,6 +93,13 @@ class SkyMIM(nn.Module):
     # ~4x smaller — dropping only the decoder stash trades its recompute
     # for the batch-doubling headroom.
     stash_decoder: bool = True
+    # MAE short-sequence packing: run the token-dropped encoder with
+    # `pack_tokens` samples packed along the sequence axis (17+17=34 tokens
+    # in one pad8→40-row tile instead of two 24-row ones; −17% sublane
+    # padding) under a static block-diagonal attention mask
+    # (ops/kernels/attn_block._seg_bias). Numerics are identical to the
+    # unpacked encoder; applies only to the masked MAE training path.
+    pack_tokens: int = 1
 
     # ------------------------------------------------------------------
     @property
@@ -225,7 +232,20 @@ class SkyMIM(nn.Module):
         # Order matches the reference: [cls, ra_dec, patches...]
         tokens = jnp.concatenate(prefix + [tokens], axis=1)
 
-        tokens = self.encoder(tokens)
+        pack = self.pack_tokens
+        packed = (
+            pack > 1 and not self.simmim and apply_mae_masking and B % pack == 0
+        )
+        if packed:
+            # (B, n, D) -> (B/pack, pack·n, D) is a free row-major reshape;
+            # the encoder masks attention to the per-sample block diagonal,
+            # so the packed output equals the unpacked one exactly.
+            seg = tokens.shape[1]
+            tokens = tokens.reshape(B // pack, pack * seg, self.embed_dim)
+            tokens = self.encoder(tokens, seg_len=seg)
+            tokens = tokens.reshape(B, seg, self.embed_dim)
+        else:
+            tokens = self.encoder(tokens)
         if self.simmim and self.attn_pool:
             tokens = self.pool(tokens)[:, None, :]
         tokens = self.norm(tokens)
@@ -390,5 +410,8 @@ def build_mim_model(config, dtype: Dtype = jnp.float32, remat: bool = False) -> 
         # frees the full-sequence probs+qkv stash that dominates MAE HBM at
         # large batches (~8 GB at B=2048, BASELINE.md r4) at ~zero cost.
         stash_decoder=arch.bool("stash_decoder", True),
+        # MAE sequence packing (A/B knob; see SkyMIM.pack_tokens). Off by
+        # default until measured positive on-chip (BASELINE.md r5).
+        pack_tokens=arch.int("pack_tokens", 1),
         **extra,
     )

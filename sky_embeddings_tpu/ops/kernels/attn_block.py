@@ -81,7 +81,33 @@ def _ln_forward(x2: jnp.ndarray, scale, bias, eps=1e-6):
     return xhat * scale + bias, xhat, rstd
 
 
-def _heads_forward(qkv3, num_heads: int, head_dim: int, out_dtype):
+def _seg_bias(N: int, seg_len: int):
+    """Static block-diagonal segment mask for sequence packing.
+
+    ``seg_len > 0`` declares the N tokens to be ``N // seg_len`` independent
+    samples packed along the sequence axis (MAE short-sequence packing: two
+    17-token samples share one 40-row sublane tile instead of two 24-row
+    ones). Cross-segment logits get −1e9 before the softmax — exp underflows
+    to exactly 0 in fp32, so packed attention ≡ per-sample attention. The
+    mask is a compile-time constant; the stash backward needs no mask at all
+    (stashed probs already carry the zeros, and softmax-backward's
+    ``dp·p − p·Σ(dp·p)`` vanishes wherever ``p = 0``).
+    """
+    if not seg_len or seg_len >= N:
+        return None
+    ids = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0) // seg_len
+    jds = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1) // seg_len
+    return jnp.where(ids == jds, 0.0, -1e9).astype(jnp.float32)
+
+
+def _softmax(logits, attn_scale: float, seg_bias):
+    z = logits * attn_scale
+    if seg_bias is not None:
+        z = z + seg_bias
+    return jax.nn.softmax(z, axis=-1)
+
+
+def _heads_forward(qkv3, num_heads: int, head_dim: int, out_dtype, seg_bias=None):
     """(TB, N, 3D) qkv activations -> (TB, N, D) context, fp32 softmax."""
     D = num_heads * head_dim
     scale = head_dim ** -0.5
@@ -95,7 +121,7 @@ def _heads_forward(qkv3, num_heads: int, head_dim: int, out_dtype):
             q, k, dimension_numbers=((((2,), (2,))), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        probs = jax.nn.softmax(logits * scale, axis=-1)
+        probs = _softmax(logits, scale, seg_bias)
         ctx = jax.lax.dot_general(
             probs.astype(qkv3.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -107,7 +133,7 @@ def _heads_forward(qkv3, num_heads: int, head_dim: int, out_dtype):
 
 def _fwd_kernel(
     x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
-    *, num_heads: int,
+    *, num_heads: int, seg_len: int = 0,
 ):
     TB, N, D = x_ref.shape
     x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
@@ -117,7 +143,9 @@ def _fwd_kernel(
         jnp.dot(y_c, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[0]
     )
     qkv3 = qkv.reshape(TB, N, 3 * D).astype(wqkv_ref.dtype)
-    ctx = _heads_forward(qkv3, num_heads, D // num_heads, wproj_ref.dtype)
+    ctx = _heads_forward(
+        qkv3, num_heads, D // num_heads, wproj_ref.dtype, _seg_bias(N, seg_len)
+    )
     ctx2 = ctx.reshape(TB * N, D)
     out = (
         jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
@@ -128,13 +156,14 @@ def _fwd_kernel(
 def _bwd_kernel(
     x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, g_ref,
     dx_ref, dscale_ref, dbias_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
-    *, num_heads: int,
+    *, num_heads: int, seg_len: int = 0,
 ):
     from jax.experimental import pallas as pl
 
     TB, N, D = x_ref.shape
     hd = D // num_heads
     attn_scale = hd ** -0.5
+    seg_bias = _seg_bias(N, seg_len)
     x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
     g2 = g_ref[:].reshape(TB * N, D).astype(jnp.float32)
     scale = scale_ref[0]
@@ -160,7 +189,7 @@ def _bwd_kernel(
         k = qkv3[:, :, D + lo : D + lo + hd]
         v = qkv3[:, :, 2 * D + lo : 2 * D + lo + hd]
         logits = bd(q, k, ((2,), (2,)))
-        probs = jax.nn.softmax(logits * attn_scale, axis=-1)  # (TB, N, N) fp32
+        probs = _softmax(logits, attn_scale, seg_bias)  # (TB, N, N) fp32
         probs_c = probs.astype(v.dtype)
 
         ctx_parts.append(bd(probs_c, v, ((2,), (1,))).astype(v.dtype))
@@ -209,13 +238,14 @@ def _bwd_kernel(
 def _fwd_stash_kernel(
     x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     out_ref, qkv_ref, probs_ref,
-    *, num_heads: int,
+    *, num_heads: int, seg_len: int = 0,
 ):
     """Forward that also writes qkv (bf16, 2D (B·N, 3D)) and the per-head
     softmax probabilities (bf16, (B, H, N, N)) for the stash backward."""
     TB, N, D = x_ref.shape
     hd = D // num_heads
     attn_scale = hd ** -0.5
+    seg_bias = _seg_bias(N, seg_len)
     x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
     y, _, _ = _ln_forward(x2, scale_ref[0], bias_ref[0])
     y_c = y.astype(wqkv_ref.dtype)
@@ -234,7 +264,7 @@ def _fwd_stash_kernel(
             q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+        probs = _softmax(logits, attn_scale, seg_bias)
         probs_c = probs.astype(probs_ref.dtype)
         probs_ref[:, h, :, :] = probs_c
         ctx = jax.lax.dot_general(
@@ -346,7 +376,8 @@ def _use_loop_heads(num_heads: int, hd: int) -> bool:
     return num_heads % g == 0 and g <= num_heads
 
 
-def _loop_heads_fwd(qkv_ref, ctx_s, num_heads: int, hd: int, dtype):
+def _loop_heads_fwd(qkv_ref, ctx_s, num_heads: int, hd: int, dtype,
+                    seg_bias=None):
     """Shared fwd head loop: qkv_ref (TB, N, 3D) sliceable ref ->
     ctx written into ctx_s (TB, N, D). Returns probs writer hook via
     the optional ``probs_ref`` argument of the caller (see stash kernel)."""
@@ -371,7 +402,7 @@ def _loop_heads_fwd(qkv_ref, ctx_s, num_heads: int, hd: int, dtype):
                 q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+            probs = _softmax(logits, attn_scale, seg_bias)
             ctx = jax.lax.dot_general(
                 probs.astype(dtype), v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
@@ -384,7 +415,7 @@ def _loop_heads_fwd(qkv_ref, ctx_s, num_heads: int, hd: int, dtype):
 
 
 def _loop_heads_fwd_pipe(qkv_ref, ctx_s, num_heads: int, hd: int, dtype,
-                         probs_ref=None):
+                         probs_ref=None, seg_bias=None):
     """Pipelined variant of the fwd head loop (see ``PIPELINE_FWD``): the
     loop carries group j's logits while issuing group j+1's logits matmuls,
     so the VPU softmax of one group and the MXU logits of the next have no
@@ -417,7 +448,7 @@ def _loop_heads_fwd_pipe(qkv_ref, ctx_s, num_heads: int, hd: int, dtype,
         v_g = qkv_ref[:, :, pl.ds(2 * D + lo, S)]
         ctx_parts, probs_parts = [], []
         for u in range(G):
-            probs = jax.nn.softmax(logits[:, u] * attn_scale, axis=-1)
+            probs = _softmax(logits[:, u], attn_scale, seg_bias)
             v = v_g[:, :, u * hd:(u + 1) * hd]
             if probs_ref is not None:
                 probs_c = probs.astype(probs_ref.dtype)
@@ -449,7 +480,7 @@ def _loop_heads_fwd_pipe(qkv_ref, ctx_s, num_heads: int, hd: int, dtype,
 def _fwd_kernel_loop(
     x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
     qkv_s, ctx_s,
-    *, num_heads: int,
+    *, num_heads: int, seg_len: int = 0,
 ):
     """Loop-heads forward (wide-head models; numerics identical to
     ``_fwd_kernel``)."""
@@ -462,7 +493,8 @@ def _fwd_kernel_loop(
     )
     qkv_s[...] = qkv.astype(qkv_s.dtype).reshape(TB, N, 3 * D)
     heads_loop = _loop_heads_fwd_pipe if PIPELINE_FWD else _loop_heads_fwd
-    heads_loop(qkv_s, ctx_s, num_heads, D // num_heads, wproj_ref.dtype)
+    heads_loop(qkv_s, ctx_s, num_heads, D // num_heads, wproj_ref.dtype,
+               seg_bias=_seg_bias(N, seg_len))
     ctx2 = ctx_s[...].reshape(TB * N, D)
     out = (
         jnp.dot(ctx2, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
@@ -473,7 +505,7 @@ def _fwd_kernel_loop(
 def _fwd_stash_kernel_loop(
     x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
     out_ref, qkv_ref, probs_ref, ctx_s,
-    *, num_heads: int,
+    *, num_heads: int, seg_len: int = 0,
 ):
     """Loop-heads stash forward: the qkv OUTPUT ref doubles as the sliceable
     head buffer; per-group softmax probs go to ``probs_ref`` (B, H, N, N)."""
@@ -484,6 +516,7 @@ def _fwd_stash_kernel_loop(
     G = _head_group(hd)
     S = G * hd
     attn_scale = hd ** -0.5
+    seg_bias = _seg_bias(N, seg_len)
     x2 = x_ref[:].reshape(TB * N, D).astype(jnp.float32)
     y, _, _ = _ln_forward(x2, scale_ref[0], bias_ref[0])
     qkv = (
@@ -494,7 +527,8 @@ def _fwd_stash_kernel_loop(
 
     if PIPELINE_FWD:
         _loop_heads_fwd_pipe(
-            qkv_ref, ctx_s, num_heads, hd, wproj_ref.dtype, probs_ref=probs_ref
+            qkv_ref, ctx_s, num_heads, hd, wproj_ref.dtype, probs_ref=probs_ref,
+            seg_bias=seg_bias,
         )
     else:
         def body(j, _):
@@ -511,7 +545,7 @@ def _fwd_stash_kernel_loop(
                     q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                 )
-                probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+                probs = _softmax(logits, attn_scale, seg_bias)
                 probs_c = probs.astype(probs_ref.dtype)
                 probs_parts.append(probs_c)
                 ctx = jax.lax.dot_general(
@@ -532,7 +566,8 @@ def _fwd_stash_kernel_loop(
 
 
 def _loop_heads_bwd(
-    qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads: int, hd: int, dtype
+    qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads: int, hd: int, dtype,
+    seg_bias=None,
 ):
     """Shared bwd head loop. ``probs_ref`` None -> recompute softmax from
     qkv; else read the stashed probabilities. Writes per-head dq/dk/dv into
@@ -566,7 +601,7 @@ def _loop_heads_bwd(
                 probs = probs_c.astype(jnp.float32)
             else:
                 logits = bd(q, k, ((2,), (2,)))
-                probs = jax.nn.softmax(logits * attn_scale, axis=-1)
+                probs = _softmax(logits, attn_scale, seg_bias)
                 probs_c = probs.astype(dtype)
             ctx_parts.append(bd(probs_c, v, ((2,), (1,))).astype(dtype))
             dc = dc_g[:, :, u * hd:(u + 1) * hd].astype(dtype)
@@ -588,7 +623,8 @@ def _loop_heads_bwd(
 
 
 def _loop_heads_bwd_pipe(
-    qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads: int, hd: int, dtype
+    qkv_ref, probs_ref, dctx_s, dqkv_s, ctx_s, num_heads: int, hd: int, dtype,
+    seg_bias=None,
 ):
     """Pipelined variant of the bwd head loop (see ``PIPELINE_BWD``): the
     carry holds group j's MXU-only precursors — dp = dctx · Vᵀ and, in
@@ -648,7 +684,7 @@ def _loop_heads_bwd_pipe(
                 probs_c = probs_g[:, u]
                 probs = probs_c.astype(jnp.float32)
             else:
-                probs = jax.nn.softmax(logits[:, u] * attn_scale, axis=-1)
+                probs = _softmax(logits[:, u], attn_scale, seg_bias)
                 probs_c = probs.astype(dtype)
             ctx_parts.append(bd(probs_c, v, ((2,), (1,))).astype(dtype))
             dc = dc_g[:, :, u * hd:(u + 1) * hd].astype(dtype)
@@ -733,7 +769,7 @@ def _bwd_kernel_loop(
     x_ref, scale_ref, bias_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, g_ref,
     dx_ref, dscale_ref, dbias_ref, dwqkv_ref, dbqkv_ref, dwproj_ref, dbproj_ref,
     dctx_s, dqkv_s, ctx_s, qkv_s,
-    *, num_heads: int,
+    *, num_heads: int, seg_len: int = 0,
 ):
     """Loop-heads recompute backward: qkv re-derived into a scratch, then the
     shared head loop with softmax recompute (``probs_ref=None``)."""
@@ -755,7 +791,7 @@ def _bwd_kernel_loop(
     heads_bwd = _loop_heads_bwd_pipe if PIPELINE_BWD else _loop_heads_bwd
     heads_bwd(
         qkv_s, None, dctx_s, dqkv_s, ctx_s, num_heads, D // num_heads,
-        wqkv_ref.dtype,
+        wqkv_ref.dtype, seg_bias=_seg_bias(N, seg_len),
     )
     ctx2 = ctx_s[...].reshape(TB * N, D)
     dqkv = dqkv_s[...].reshape(TB * N, 3 * D)
@@ -860,7 +896,7 @@ def auto_block_b_fwd(B: int, D: int, stash: bool, n_tokens: int = 65) -> int:
     return max(min(tb, B), 1)
 
 
-def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret):
+def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret, seg_len=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -875,13 +911,13 @@ def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, in
     row = lambda i: (0, 0)
     hd = D // num_heads
     if _use_loop_heads(num_heads, hd):
-        kern = functools.partial(_fwd_kernel_loop, num_heads=num_heads)
+        kern = functools.partial(_fwd_kernel_loop, num_heads=num_heads, seg_len=seg_len)
         kwargs["scratch_shapes"] = [
             pltpu.VMEM((tb, N, 3 * D), x.dtype),
             pltpu.VMEM((tb, N, D), x.dtype),
         ]
     else:
-        kern = functools.partial(_fwd_kernel, num_heads=num_heads)
+        kern = functools.partial(_fwd_kernel, num_heads=num_heads, seg_len=seg_len)
     return pl.pallas_call(
         kern,
         grid=(B // tb,),
@@ -901,7 +937,7 @@ def _pallas_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, in
     )(x, scale, bias, wqkv, bqkv, wproj, bproj)
 
 
-def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret):
+def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block_b, interpret, seg_len=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -916,10 +952,10 @@ def _pallas_fwd_stash(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads, block
     row = lambda i: (0, 0)
     hd = D // num_heads
     if _use_loop_heads(num_heads, hd):
-        kern = functools.partial(_fwd_stash_kernel_loop, num_heads=num_heads)
+        kern = functools.partial(_fwd_stash_kernel_loop, num_heads=num_heads, seg_len=seg_len)
         kwargs["scratch_shapes"] = [pltpu.VMEM((tb, N, D), x.dtype)]
     else:
-        kern = functools.partial(_fwd_stash_kernel, num_heads=num_heads)
+        kern = functools.partial(_fwd_stash_kernel, num_heads=num_heads, seg_len=seg_len)
     return pl.pallas_call(
         kern,
         grid=(B // tb,),
@@ -1013,7 +1049,7 @@ def _pallas_bwd_stash(
     )(x, scale, bias, wqkv, wproj, qkv, probs, g)
 
 
-def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b, interpret):
+def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b, interpret, seg_len=0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1037,7 +1073,7 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
     )
     hd = D // num_heads
     if _use_loop_heads(num_heads, hd):
-        kern = functools.partial(_bwd_kernel_loop, num_heads=num_heads)
+        kern = functools.partial(_bwd_kernel_loop, num_heads=num_heads, seg_len=seg_len)
         kwargs["scratch_shapes"] = [
             pltpu.VMEM((tb, N, D), jnp.float32),      # dctx
             pltpu.VMEM((tb, N, 3 * D), jnp.float32),  # dqkv
@@ -1045,7 +1081,7 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
             pltpu.VMEM((tb, N, 3 * D), x.dtype),      # qkv recompute
         ]
     else:
-        kern = functools.partial(_bwd_kernel, num_heads=num_heads)
+        kern = functools.partial(_bwd_kernel, num_heads=num_heads, seg_len=seg_len)
     return pl.pallas_call(
         kern,
         grid=(B // tb,),
@@ -1074,7 +1110,7 @@ def _pallas_bwd(x, scale, bias, wqkv, bqkv, wproj, bproj, g, num_heads, block_b,
     )(x, scale, bias, wqkv, bqkv, wproj, bproj, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_attn_block(
     x, scale, bias, wqkv, bqkv, wproj, bproj,
     num_heads: int,
@@ -1082,6 +1118,7 @@ def fused_attn_block(
     block_b_bwd: int = 0,
     interpret: bool = False,
     stash: bool = False,
+    seg_len: int = 0,
 ):
     """x + proj(attn(qkv(LN(x)))) with everything resident in VMEM per tile.
 
@@ -1091,34 +1128,37 @@ def fused_attn_block(
     saves only ``x`` and recomputes everything. ``stash=True``: the
     differentiation-path forward also writes qkv + softmax probs (bf16) and
     the backward skips their recompute (see module docstring); the primal
-    (inference) path never pays the stash writes.
+    (inference) path never pays the stash writes. ``seg_len > 0``: the N
+    tokens are ``N // seg_len`` packed samples — attention is restricted to
+    the block diagonal (:func:`_seg_bias`; MAE short-sequence packing).
     """
     return _pallas_fwd(
         x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
         bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
-        num_heads, block_b_fwd, interpret,
+        num_heads, block_b_fwd, interpret, seg_len,
     )
 
 
 def _fab_fwd(x, scale, bias, wqkv, bqkv, wproj, bproj,
-             num_heads, block_b_fwd, block_b_bwd, interpret, stash):
+             num_heads, block_b_fwd, block_b_bwd, interpret, stash, seg_len):
     if stash:
         out, qkv, probs = _pallas_fwd_stash(
             x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
             bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1),
-            num_heads, block_b_fwd, interpret,
+            num_heads, block_b_fwd, interpret, seg_len,
         )
         return out, (x, scale, bias, wqkv, bqkv, wproj, bproj, qkv, probs)
     out = fused_attn_block(
         x, scale, bias, wqkv, bqkv, wproj, bproj,
-        num_heads, block_b_fwd, block_b_bwd, interpret, stash,
+        num_heads, block_b_fwd, block_b_bwd, interpret, stash, seg_len,
     )
     return out, (x, scale, bias, wqkv, bqkv, wproj, bproj, None, None)
 
 
-def _fab_bwd(num_heads, block_b_fwd, block_b_bwd, interpret, stash, res, g):
+def _fab_bwd(num_heads, block_b_fwd, block_b_bwd, interpret, stash, seg_len, res, g):
     x, scale, bias, wqkv, bqkv, wproj, bproj, qkv, probs = res
     if stash:
+        # stashed probs already encode the segment mask (zeros off-diagonal)
         dx, dscale, dbias, dwqkv, dbqkv, dwproj, dbproj = _pallas_bwd_stash(
             x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv, wproj,
             qkv, probs, g, num_heads, block_b_bwd, interpret,
@@ -1127,7 +1167,7 @@ def _fab_bwd(num_heads, block_b_fwd, block_b_bwd, interpret, stash, res, g):
         dx, dscale, dbias, dwqkv, dbqkv, dwproj, dbproj = _pallas_bwd(
             x, scale.reshape(1, -1), bias.reshape(1, -1), wqkv,
             bqkv.reshape(1, -1), wproj, bproj.reshape(1, -1), g,
-            num_heads, block_b_bwd, interpret,
+            num_heads, block_b_bwd, interpret, seg_len,
         )
     return (
         dx,
@@ -1143,7 +1183,8 @@ def _fab_bwd(num_heads, block_b_fwd, block_b_bwd, interpret, stash, res, g):
 fused_attn_block.defvjp(_fab_fwd, _fab_bwd)
 
 
-def xla_attn_block(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads: int):
+def xla_attn_block(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads: int,
+                   seg_len: int = 0):
     """Reference formulation (CPU fallback + parity oracle). Matches the
     kernel's numerics: fp32 LN/softmax/bias adds, operand-dtype matmuls,
     fp32 accumulation."""
@@ -1158,7 +1199,7 @@ def xla_attn_block(x, scale, bias, wqkv, bqkv, wproj, bproj, num_heads: int):
     qkv5 = qkv.reshape(B, N, 3, num_heads, hd).astype(wqkv.dtype)
     q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
     logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * hd ** -0.5, axis=-1)
+    probs = _softmax(logits, hd ** -0.5, _seg_bias(N, seg_len))
     ctx = jnp.einsum(
         "bhnm,bmhd->bnhd", probs.astype(wqkv.dtype), v,
         preferred_element_type=jnp.float32,

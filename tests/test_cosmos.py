@@ -34,6 +34,8 @@ def test_generate_from_coordinates_only():
     assert not np.allclose(np.asarray(img), np.asarray(img2))
 
 
+@pytest.mark.slow  # three full apply passes; the fast gate keeps the
+# training-step test as the cosmos canary
 def test_conditional_inpainting_keeps_visible_patches_informative():
     model = CosmicEmbeds(**TINY)
     target, ra_dec, waves = _data()

@@ -961,6 +961,8 @@ def test_tile_heuristics_long_sequence_shrink():
             assert t * n_pad <= 64 * 72 + 1, (n, t)
 
 
+@pytest.mark.slow  # stash="stream" is not a default path anywhere
+# (measured negative, BASELINE.md r4); parity stays gated in the slow tier
 def test_fused_mlp_block_stream_backward_parity(monkeypatch):
     """stash="stream" (weight-streaming backward: resident fp32 grad
     accumulators, weights in column slabs over a second grid dim) must match
@@ -997,3 +999,89 @@ def test_stream_slab_widths():
     assert 5120 % fk == 0 and fk % 128 == 0
     assert _stream_slab(48, 192) == 192  # no 128-multiple divides F -> 1 slab
     assert _stream_slab(64, 256) == 256  # small weights -> single slab
+
+
+# ----------------------------------------------------------------------
+# Segment-masked (packed-sequence) attention block
+# ----------------------------------------------------------------------
+
+def _packed(args, pack=2):
+    """(B, N, D) inputs -> (B/pack, pack·N, D) via the free row-major
+    reshape the model uses for MAE sequence packing."""
+    x = args[0]
+    B, N, D = x.shape
+    return (x.reshape(B // pack, pack * N, D),) + args[1:]
+
+
+def test_attn_block_seg_mask_forward_matches_unpacked():
+    """seg_len-masked attention over packed samples must equal per-sample
+    attention exactly (the packing contract, models/mim.py encode)."""
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    args = _attn_block_inputs(B=8, N=17)
+    B, N, D = args[0].shape
+    ref = xla_attn_block(*args, 4)
+    for out in (
+        xla_attn_block(*_packed(args), 4, N),
+        fused_attn_block(*_packed(args), 4, 4, 4, True, False, N),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(B, N, D), np.asarray(ref), atol=2e-5
+        )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("stash", [False, True])
+def test_attn_block_seg_mask_backward_matches_unpacked(stash):
+    """Packed gradients must equal unpacked ones for both backward modes:
+    recompute (re-applies the mask in-kernel) and stash (masked probs carry
+    the zeros through)."""
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    args = _attn_block_inputs(B=8, N=17, seed=11)
+    B, N, D = args[0].shape
+    g = jnp.asarray(
+        np.random.default_rng(12).normal(size=args[0].shape).astype(np.float32)
+    )
+    gp = g.reshape(B // 2, 2 * N, D)
+
+    def loss_ref(*a):
+        return (xla_attn_block(*a, 4) * g).sum()
+
+    def loss_packed(*a):
+        return (fused_attn_block(*_packed(a), 4, 4, 4, True, stash, N) * gp).sum()
+
+    grads_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    grads_pk = jax.grad(loss_packed, argnums=tuple(range(7)))(*args)
+    names = ["x", "scale", "bias", "wqkv", "bqkv", "wproj", "bproj"]
+    for name, gr, gk in zip(names, grads_ref, grads_pk):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), atol=5e-4, rtol=1e-3,
+            err_msg=f"packed grad mismatch for {name} (stash={stash})",
+        )
+
+
+def test_attn_block_seg_mask_loop_heads_forward():
+    """The fori_loop head-group kernels (D=256, hd=64 -> loop form) must
+    honor the segment mask too."""
+    from sky_embeddings_tpu.ops.kernels.attn_block import (
+        _use_loop_heads,
+        fused_attn_block,
+        xla_attn_block,
+    )
+
+    args = _wide_attn_inputs(B=8, N=17)
+    B, N, D = args[0].shape
+    assert _use_loop_heads(4, D // 4)
+    ref = xla_attn_block(*args, 4)
+    out = fused_attn_block(*_packed(args), 4, 4, 4, True, False, N)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(B, N, D), np.asarray(ref),
+        atol=3e-5, rtol=1e-4,
+    )

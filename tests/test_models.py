@@ -210,3 +210,44 @@ def test_mae_decoder_stash_knob_parity():
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_mae_pack_tokens_matches_unpacked():
+    """pack_tokens=2 (two samples share one encoder sequence under the
+    block-diagonal attention mask) must reproduce the unpacked model's loss,
+    prediction and gradients exactly — packing is a layout change, not a
+    model change (models/mim.py encode; ops/kernels/attn_block._seg_bias)."""
+    kw = dict(TINY, simmim=False, mask_ratio=0.5, dtype=jnp.float32)
+    imgs = _imgs(B=2, with_nan=False, seed=3)
+    key = jax.random.PRNGKey(0)
+    noise = jax.random.uniform(key, (2, (16 // 4) ** 2))
+
+    def run(pack):
+        m = SkyMIM(**kw, pack_tokens=pack)
+        params = jax.jit(m.init)(key, imgs, mae_noise=noise)["params"]
+
+        def f(p):
+            loss, pred, _ = m.apply({"params": p}, imgs, mae_noise=noise)
+            return loss, pred
+
+        (loss, pred), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return loss, pred, grads
+
+    l1, p1, g1 = run(1)
+    l2, p2, g2 = run(2)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), atol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = jax.tree_util.tree_leaves_with_path(g2)
+    for (k1, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k1)}",
+        )
+    # packing must not engage on the unmasked (inference/latent) path
+    m = SkyMIM(**kw, pack_tokens=2)
+    params = jax.jit(m.init)(key, imgs, mae_noise=noise)["params"]
+    t_packed, _, _ = m.apply({"params": params}, imgs, method=SkyMIM.encode)
+    m1 = SkyMIM(**kw, pack_tokens=1)
+    t_ref, _, _ = m1.apply({"params": params}, imgs, method=SkyMIM.encode)
+    np.testing.assert_allclose(np.asarray(t_packed), np.asarray(t_ref), atol=0)

@@ -63,8 +63,19 @@ def _tiny_setup(tp):
 
 def test_opt_state_shardings_structure():
     """mu/nu leaves pick up 'data'; counts stay replicated; shard sizes
-    actually shrink by the dp factor."""
-    model, mesh, params, tx, opt_state, _ = _tiny_setup(tp=2)
+    actually shrink by the dp factor. Runs fully abstract (eval_shape) —
+    opt_state_shardings only consumes shapes and tree structure, so the
+    gate pays no init/compile time."""
+    model = SkyMIM(simmim=True, norm_pix_loss=True, **TINY)
+    imgs = jax.ShapeDtypeStruct((16, 3, 16, 16), jnp.float32)
+    variables = jax.eval_shape(
+        lambda rng, x: model.init(rng, x, mask=jnp.zeros(x.shape, x.dtype)),
+        jax.random.PRNGKey(0), imgs,
+    )
+    params = variables["params"]
+    mesh = create_mesh(model=2)
+    tx = pretrain_optimizer(params, cosine_annealing(1e-3, 10, 100), 0.05)
+    opt_state = jax.eval_shape(tx.init, params)
     shardings = opt_state_shardings(mesh, tx, opt_state, params)
     assert jax.tree_util.tree_structure(shardings) == jax.tree_util.tree_structure(
         opt_state
