@@ -265,14 +265,17 @@ def _time_train_step(model, B, n_steps, rng_mask=False, in_chans=5, img=64,
     return B * n_steps / (time.perf_counter() - t0)
 
 
-def bench_mae(B=1024, n_steps=20, stash_decoder=True):
+def bench_mae(B=1024, n_steps=20, stash_decoder=True, pack_tokens=1):
     """MAE-mode pretraining (token dropping at mask_ratio 0.75: the encoder
     sees 17 of 65 tokens; 512-d 8-deep decoder over the full sequence —
     reference ``mim_vit.py:440-471`` semantics). Returns (img/s, GF/img).
 
     ``stash_decoder=False`` drops the decoder's qkv+probs attention stash
     (~1 GB/layer at B=2048 — the allocation that OOMs the plain B=2048
-    attempt, BASELINE.md r4) in exchange for backward recompute."""
+    attempt, BASELINE.md r4) in exchange for backward recompute.
+    ``pack_tokens>1`` packs that many samples per encoder sequence under the
+    block-diagonal attention mask (models/mim.py; the r5 A/B against the
+    17-token sublane padding)."""
     import jax.numpy as jnp
 
     from sky_embeddings_tpu.models.mim import SkyMIM
@@ -281,6 +284,7 @@ def bench_mae(B=1024, n_steps=20, stash_decoder=True):
         img_size=64, patch_size=8, in_chans=5, embed_dim=768, depth=12,
         num_heads=12, simmim=False, norm_pix_loss=True, loss_fn="l1",
         mask_ratio=0.75, dtype=jnp.bfloat16, stash_decoder=stash_decoder,
+        pack_tokens=pack_tokens,
     )
     gflop = vit_train_gflops_per_img(
         12, 768, 17, dec_depth=8, dec_d=512, dec_tokens=65, patch_in=320

@@ -102,6 +102,12 @@ TPU_NAME={spec.name}-tpu
 ZONE=${{ZONE:-us-central1-a}}
 gcloud compute tpus tpu-vm create $TPU_NAME --zone=$ZONE \\
   --accelerator-type={spec.accelerator} --version={acc["runtime"]} || true
+# One-time loader worker-scaling measurement on the real VM's cores: the
+# 1-core build harness can only prove reader determinism, not scaling
+# (BASELINE.md "Projected multi-chip scaling"); this records the actual
+# curve in the job log before the first training run.
+gcloud compute tpus tpu-vm ssh $TPU_NAME --zone=$ZONE --worker=0 \\
+  --command "python tools/loader_scaling_check.py" || true
 for RUN in $(seq 1 {spec.num_runs}); do
   echo "=== chained run $RUN/{spec.num_runs} ==="
   # --worker=all runs one process per host; SKY_DISTRIBUTED turns on

@@ -152,3 +152,29 @@ def test_jepa_loss_decreases():
     for _ in range(25):
         last = float(trainer.train_batch(batch))
     assert last < first
+
+
+def test_committed_jepa_validation_artifact():
+    """Gate on the committed full-scale JEPA learning record
+    (results/jepa_validation.json, produced on TPU by
+    tools/jepa_validation.py — the r4 VERDICT #7 protocol): the probe
+    accuracy AND redshift R² must rise during I-JEPA pretraining on the
+    structured survey, mirroring the MIM semantic-validation gate."""
+    import json
+    import os
+
+    import pytest
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", "jepa_validation.json",
+    )
+    if not os.path.exists(path):
+        pytest.skip("full-scale jepa_validation.json not committed yet")
+    with open(path) as f:
+        results = json.load(f)
+
+    pre = results["pretrain"]
+    acc, r2 = pre["val_lp_acc"], pre["val_lp_r2"]
+    assert max(acc) >= acc[0] + 0.05, f"probe accuracy flat: {acc[0]} -> {max(acc)}"
+    assert max(r2) >= r2[0] + 0.05, f"probe R2 flat: {r2[0]} -> {max(r2)}"
