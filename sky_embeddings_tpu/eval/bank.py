@@ -84,12 +84,16 @@ class EmbeddingBank:
     """(N, D) standardized pooled features + (N, 2) ra/dec + bank stats."""
 
     def __init__(self, features: np.ndarray, ra_decs: np.ndarray,
-                 mean: np.ndarray, std: np.ndarray, pool: str = "mean"):
+                 mean: np.ndarray, std: np.ndarray, pool: str = "mean",
+                 n_extra: int = 1):
         self.features = features
         self.ra_decs = ra_decs
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
         self.pool = pool
+        # prefix-token count of the encoder that built the bank — needed to
+        # apply the same pooling to query targets (central mode)
+        self.n_extra = int(n_extra)
         self._device_bank = None
         self._device_int8_bank = None
 
@@ -111,6 +115,7 @@ class EmbeddingBank:
             f.create_dataset("mean", data=self.mean)
             f.create_dataset("std", data=self.std)
             f.attrs["pool"] = self.pool
+            f.attrs["n_extra"] = self.n_extra
             f.attrs["feat_dtype"] = feat_dtype
 
     @classmethod
@@ -131,7 +136,8 @@ class EmbeddingBank:
 
                 feats = feats.view(ml_dtypes.bfloat16)
         bank = cls(feats, f["ra_decs"][:], f["mean"][:], f["std"][:],
-                   pool=str(f.attrs.get("pool", "mean")))
+                   pool=str(f.attrs.get("pool", "mean")),
+                   n_extra=int(f.attrs.get("n_extra", 1)))
         if not lazy:
             f.close()
         return bank
@@ -151,7 +157,7 @@ class EmbeddingBank:
         measured top-300 agreement 1.0). ``exact=True`` forces the
         single-pass scorer at the bank's storage precision.
         """
-        flat = jnp.asarray(np.asarray(target_latent, np.float32))
+        flat = self._pool_target(target_latent)
         # standardize the target tokens by the bank stats BEFORE the
         # mean/inverse-variance collapse — same order as the streaming path
         # (simsearch standardizes latents, then weights; similarity.py:98-147)
@@ -189,7 +195,7 @@ class EmbeddingBank:
         """
         tgts, ws = [], []
         for latent in target_latents:
-            flat = jnp.asarray(np.asarray(latent, np.float32))
+            flat = self._pool_target(latent)
             flat = (flat - self.mean) / (self.std + 1e-8)
             tgt, w = target_features(flat)
             if not use_weights:
@@ -215,6 +221,24 @@ class EmbeddingBank:
             )
         return np.asarray(vals), np.asarray(idx)
 
+    def _pool_target(self, target_latent) -> jnp.ndarray:
+        """Target token features in the bank's feature space.
+
+        ``central`` banks store the central-4-patch flattened features (the
+        probe's ``combine='central'`` space, ``eval/linear_probe.py``), so
+        the (Bt, Lt, D) target tokens must collapse the same way — one
+        (4·D,) row per target sample — before standardization;
+        ``target_features`` then takes the mean + inverse-variance weights
+        over the Bt rows. Other pool modes keep the reference's token-level
+        collapse (``similarity.py:134-147``)."""
+        flat = jnp.asarray(np.asarray(target_latent, np.float32))
+        if self.pool == "central":
+            from sky_embeddings_tpu.utils.misc import select_centre
+
+            sel = select_centre(flat[:, self.n_extra:], 4)
+            flat = sel.reshape(sel.shape[0], -1)
+        return flat
+
     def _device(self):
         if self._device_bank is None:
             self._device_bank = jax.device_put(self.features)
@@ -237,8 +261,12 @@ def build_bank(
 ) -> EmbeddingBank:
     """Encode a survey stream into an :class:`EmbeddingBank`.
 
-    ``pool``: 'mean' | 'max' over patch tokens, or 'cls' for the cls token
-    (mirrors ``eval/simsearch._select_tokens`` collapse modes).
+    ``pool``: 'mean' | 'max' over patch tokens, 'cls' for the cls token
+    (mirrors ``eval/simsearch._select_tokens`` collapse modes), or
+    'central' — the central-4-patch flattened features, i.e. the linear
+    probe's ``combine='central'`` space (``eval/linear_probe.py``; 4·D
+    feature rows). For compact point-like sources the central patches carry
+    the class signal that mean pooling dilutes over the 64-patch grid.
     """
     n_extra = model.num_extra_tokens
 
@@ -256,6 +284,11 @@ def build_bank(
         if pool == "cls":
             return latent[:, 0]
         patches = latent[:, n_extra:]
+        if pool == "central":
+            from sky_embeddings_tpu.utils.misc import select_centre
+
+            sel = select_centre(patches, 4)
+            return sel.reshape(sel.shape[0], -1)
         return patches.max(axis=1) if pool == "max" else patches.mean(axis=1)
 
     rows, ra_decs = [], []
@@ -277,5 +310,5 @@ def build_bank(
     np_dtype = _d.canonicalize_dtype(dtype)
     return EmbeddingBank(
         feats.astype(np_dtype), np.concatenate(ra_decs, axis=0), mean, std,
-        pool=pool,
+        pool=pool, n_extra=n_extra,
     )

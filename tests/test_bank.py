@@ -70,6 +70,15 @@ def test_pool_modes(tiny_model):
     for pool in ("mean", "max", "cls"):
         bank = build_bank(model, variables, _batches(1), pool=pool)
         assert bank.features.shape == (8, 48)
+    # central = the probe's combine='central' space: 4 central patches
+    # flattened -> 4*D feature rows; query targets pool the same way
+    bank = build_bank(model, variables, _batches(1), pool="central")
+    assert bank.features.shape == (8, 4 * 48)
+    latents = np.random.default_rng(0).normal(
+        size=(3, bank.n_extra + 16, 48)).astype(np.float32)
+    scores, idx = bank.query(latents, k=4, exact=True)
+    assert idx.shape == (4,)
+    assert np.isfinite(np.asarray(scores)).all()
 
 
 def test_cli_bank_search_roundtrip(tiny_model, tmp_path):

@@ -246,7 +246,11 @@ def run_simsearch(data_dir: str, quick: bool = False) -> dict:
         val_path, batch_size=256, img_size=img_size, shuffle=False,
         drop_remainder=False,
     )
-    bank = build_bank(model, variables, val_ds, pool="mean")
+    # central pooling = the probe's feature space (combine='central', where
+    # the class signal is linearly separable at 0.96 accuracy); mean pooling
+    # dilutes the compact central-source signal over the 64-patch grid and
+    # measured 0.40 QSO precision@60 vs the 2x-chance gate (r5 on TPU)
+    bank = build_bank(model, variables, val_ds, pool="central")
     n_rows = bank.features.shape[0]
     classes = classes[:n_rows]
 
