@@ -85,9 +85,19 @@ def opt_state_shardings(
         shape = getattr(leaf, "shape", ())
         return NamedSharding(mesh, zero_spec(tp_sharding.spec, tuple(shape), dp))
 
-    return optax.tree_map_params(
-        tx, moment, opt_state, tp_sh, transform_non_params=lambda _: replicated
-    )
+    try:
+        return optax.tree_map_params(
+            tx, moment, opt_state, tp_sh, transform_non_params=lambda _: replicated
+        )
+    except ValueError:
+        # optax.tree_map_params cannot walk every wrapper with an auxiliary
+        # rest-tree — ``optax.multi_transform`` (the linear-probe regime,
+        # optim.linear_probe_optimizer) raises "Expected named tuple" on the
+        # NamedSharding leaves. Fall back to replicating the whole state:
+        # correct under any mesh, and the lp regime's trainable state (head
+        # + norms + attn-pool moments) is far too small for ZeRO-1 sharding
+        # to matter.
+        return jax.tree_util.tree_map(lambda _: replicated, opt_state)
 
 
 def shard_opt_state(

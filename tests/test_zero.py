@@ -349,3 +349,28 @@ def test_jepa_trainer_tp_zero(tmp_path):
         np.testing.assert_allclose(l_sh, l_base, rtol=2e-4)
     assert has_axis(sharded.state.opt_state, "data")
     assert has_axis(sharded.state.target_params, "model")
+
+
+def test_opt_state_shardings_lp_multi_transform_fallback():
+    """The linear-probe regime's optax.multi_transform state cannot be
+    walked by optax.tree_map_params with NamedSharding rest-leaves
+    ("Expected named tuple" — crashed every lp PredictorTrainer since the
+    ZeRO wiring; caught by the r5 struct sweep's ap family).
+    opt_state_shardings must fall back to a replicated tree of the same
+    structure."""
+    from sky_embeddings_tpu.train import optim
+
+    params = {
+        "head": {"kernel": jnp.zeros((8, 2)), "bias": jnp.zeros((2,))},
+        "block0": {"attn": {"qkv": {"kernel": jnp.zeros((8, 24))}}},
+    }
+    tx = optim.linear_probe_optimizer(params, 1e-3, 0.05, "map")
+    opt_state = tx.init(params)
+    mesh = create_mesh()
+    sh = opt_state_shardings(mesh, tx, opt_state, params, dp=1)
+    assert jax.tree_util.tree_structure(sh) == jax.tree_util.tree_structure(
+        opt_state
+    )
+    for leaf in jax.tree_util.tree_leaves(sh):
+        assert isinstance(leaf, NamedSharding)
+        assert leaf.spec == P()
