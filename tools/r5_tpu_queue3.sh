@@ -14,9 +14,9 @@ wait_tpu() {
 }
 
 wait_tpu
-echo "=== ap family retrain (lp_1 recipe) $(date -u +%H:%M:%S) ==="
-rm -f models/z_struct_ap_*.ckpt.msgpack
-timeout 7200 python tools/struct_sweep.py -f ap --skip_plot
+echo "=== ap 128/512 retrain (lp_1 recipe; later sizes already ran fixed) ==="
+rm -f models/z_struct_ap_128*.ckpt.msgpack models/z_struct_ap_512*.ckpt.msgpack
+timeout 7200 python tools/struct_sweep.py -f ap -s 128 512 --skip_plot
 
 wait_tpu
 echo "=== sweep curve artifact $(date -u +%H:%M:%S) ==="
@@ -31,6 +31,9 @@ timeout 7200 python tools/semantic_validation.py --stage finetune -v 250
 timeout 3600 python tools/semantic_validation.py --stage simsearch
 
 wait_tpu
+echo "=== JEPA validation $(date -u +%H:%M:%S) ==="
+timeout 10800 python tools/jepa_validation.py -v 500
+wait_tpu
 echo "=== MAE packing A/B $(date -u +%H:%M:%S) ==="
 timeout 2400 python -c "
 import bench
@@ -44,7 +47,4 @@ wait_tpu
 echo "=== ViT-H breakdown $(date -u +%H:%M:%S) ==="
 timeout 3600 python tools/vith_breakdown.py -n 10
 
-wait_tpu
-echo "=== JEPA validation $(date -u +%H:%M:%S) ==="
-timeout 10800 python tools/jepa_validation.py -v 500
 echo "queue3 done rc=$? $(date -u +%H:%M:%S)"
