@@ -127,12 +127,16 @@ def extract_latents(
     return_images: bool = False,
     to_host: bool = True,
     batch_transform=None,
+    augment_params: Optional[dict] = None,
 ):
     """Batched encoder-only embeddings (reference ``mae_latent``,
     ``eval_fns.py:72-140``).
 
     With ``apply_augmentations``, each sample contributes 1 original +
-    ``num_augmentations`` augmented copies (augmented on device). Prefix
+    ``num_augmentations`` augmented copies (augmented on device);
+    ``augment_params`` overrides ``augment_batch``'s reference-default TTA
+    pipeline (e.g. ``nan_channels=0`` to keep every band when
+    characterizing a color-defined target group). Prefix
     tokens (cls [+ ra_dec]) are stripped when ``remove_prefix`` unless the
     model attention-pools (single pooled token). With ``to_host=False`` the
     latents stay on device as a jnp array (used by the on-device probe).
@@ -148,9 +152,11 @@ def extract_latents(
         if key is None:
             key = jax.random.PRNGKey(0)
 
+        aug_kw = dict(augment_params or {})
+
         @jax.jit
         def augment(k, imgs):
-            return augment_batch(k, imgs)
+            return augment_batch(k, imgs, **aug_kw)
 
     latents, images = [], []
     for i, batch in enumerate(batches):

@@ -242,5 +242,5 @@ def test_committed_semantic_validation_artifact():
 
     sim = results["simsearch"]
     for label in ("qso", "galaxy", "star"):
-        p = sim[f"precision_at_60_{label}"]
+        p = sim[f"precision_at_30_{label}"]
         assert p >= 2 * sim["chance"][label], f"{label} precision {p} below 2x chance"

