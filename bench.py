@@ -265,7 +265,7 @@ def _time_train_step(model, B, n_steps, rng_mask=False, in_chans=5, img=64,
     return B * n_steps / (time.perf_counter() - t0)
 
 
-def bench_mae(B=1024, n_steps=20, stash_decoder=True, pack_tokens=1):
+def bench_mae(B=1024, n_steps=20, stash_decoder=True, pack_tokens=4):
     """MAE-mode pretraining (token dropping at mask_ratio 0.75: the encoder
     sees 17 of 65 tokens; 512-d 8-deep decoder over the full sequence —
     reference ``mim_vit.py:440-471`` semantics). Returns (img/s, GF/img).
@@ -273,9 +273,12 @@ def bench_mae(B=1024, n_steps=20, stash_decoder=True, pack_tokens=1):
     ``stash_decoder=False`` drops the decoder's qkv+probs attention stash
     (~1 GB/layer at B=2048 — the allocation that OOMs the plain B=2048
     attempt, BASELINE.md r4) in exchange for backward recompute.
-    ``pack_tokens>1`` packs that many samples per encoder sequence under the
-    block-diagonal attention mask (models/mim.py; the r5 A/B against the
-    17-token sublane padding)."""
+    ``pack_tokens`` packs that many samples per encoder sequence under the
+    block-diagonal attention mask (models/mim.py). Default 4 — the r5 A/B
+    against the 17-token sublane padding measured pack=4 fastest (68-token
+    sequences land on the flagship-tuned 72-row tiles): 5 030.8 img/s
+    (48.4% MFU) vs 4 931.5 (47.5%) unpacked, with pack=2 far slower
+    (2 953.7; 40-row tiles)."""
     import jax.numpy as jnp
 
     from sky_embeddings_tpu.models.mim import SkyMIM
